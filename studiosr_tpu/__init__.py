@@ -1,0 +1,11 @@
+"""studiosr_tpu — a TPU-native (JAX/XLA/Pallas) super-resolution framework.
+
+From-scratch rebuild of the capabilities of StudioSR (veritross/studiosr)
+designed for TPU hardware: NHWC models compiled with XLA, fused Pallas
+window-attention kernels, mesh-sharded data-parallel training, and an
+on-device evaluation protocol.
+"""
+
+__version__ = "0.1.0"
+
+from studiosr_tpu.utils import *  # noqa: F401,F403

@@ -1,0 +1,155 @@
+"""The public model contract: numpy-in / numpy-out inference over jitted NHWC.
+
+Mirrors the capabilities of the reference base class
+(``studiosr/models/common.py:29-101``): ``inference`` takes an RGB uint8 HWC
+array and returns the upscaled RGB uint8 HWC array;
+``inference_with_self_ensemble`` averages the 8 rot90/flip variants;
+``get_model_config``/``get_training_config`` expose reconstruction configs;
+``from_pretrained`` loads the published PyTorch zoo via the translation layer.
+
+TPU-native design differences:
+* models are immutable flax modules + parameter pytrees, wrapped in this
+  class; the forward is ``jax.jit``-ed once and re-specialized per input
+  shape (the persistent XLA compilation cache makes repeated shapes cheap);
+* layout is NHWC end-to-end — no permutes at the numpy boundary beyond
+  adding/removing the batch axis;
+* ``export`` emits StableHLO (the XLA-portable analog of the reference's
+  ONNX export, ``common.py:86-98``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Model", "diverge_images", "converge_images"]
+
+
+def diverge_images(image: np.ndarray) -> List[np.ndarray]:
+    """The 8 rot90 x fliplr variants of an HWC image (``common.py:10-16``)."""
+    out = []
+    for i in range(4):
+        rotated = np.rot90(image, k=i, axes=(0, 1))
+        flipped = np.fliplr(rotated)
+        out.extend([rotated, flipped])
+    return out
+
+
+def converge_images(images: List[np.ndarray]) -> np.ndarray:
+    """Invert :func:`diverge_images` on each output and average (``common.py:19-26``)."""
+    undone = []
+    for i, image in enumerate(images):
+        image = np.fliplr(image) if i & 1 else image
+        image = np.rot90(image, k=i // 2, axes=(1, 0))
+        undone.append(image)
+    return np.mean(np.stack(undone), axis=0)
+
+
+class Model:
+    """Wrapper binding a flax module, its variables, and the model config.
+
+    Subclasses set ``module_cls`` and implement ``build`` (fresh init) and
+    ``from_pretrained`` (zoo load). ``variables`` is the full flax variable
+    dict (``{"params": ..., possibly "batch_stats": ...}``).
+    """
+
+    def __init__(
+        self,
+        module,
+        variables: Dict[str, Any],
+        config: Dict[str, Any],
+        training_config: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        self.module = module
+        self.variables = variables
+        self.config = dict(config)
+        self._training_config = dict(training_config or {})
+        self._jit_forward = jax.jit(self._forward)
+
+    # -- config accessors ---------------------------------------------------
+
+    @property
+    def scale(self) -> int:
+        return int(self.config.get("scale", 4))
+
+    @property
+    def n_colors(self) -> int:
+        return int(self.config.get("n_colors", 3))
+
+    @property
+    def img_range(self) -> float:
+        return float(self.config.get("img_range", 1.0))
+
+    @property
+    def params(self):
+        return self.variables.get("params", self.variables)
+
+    def get_model_config(self) -> Dict[str, Any]:
+        return dict(self.config)
+
+    def get_training_config(self) -> Dict[str, Any]:
+        return dict(self._training_config)
+
+    # -- forward ------------------------------------------------------------
+
+    def _forward(self, variables, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval-mode forward; overridable for models with extra state."""
+        return self.module.apply(variables, x, train=False)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Jitted eval forward on an NHWC float batch."""
+        return self._jit_forward(self.variables, x)
+
+    def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
+        """Train-mode apply (dropout active, batch stats updating)."""
+        return self.module.apply(variables, x, train=True, rngs=rngs, mutable=list(mutable))
+
+    # -- numpy inference contract -------------------------------------------
+
+    def inference(self, image: np.ndarray) -> np.ndarray:
+        """uint8 HWC RGB -> upscaled uint8 HWC RGB (``common.py:36-48``)."""
+        scale = 255.0 if self.img_range == 1.0 else 1.0
+        x = jnp.asarray(image.astype(np.float32) / scale)[None]
+        y = self._jit_forward(self.variables, x)[0] * scale
+        y = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+        return np.asarray(y)
+
+    def inference_with_self_ensemble(self, image: np.ndarray) -> np.ndarray:
+        """8-way test-time ensemble (``common.py:50-67``)."""
+        scale = 255.0 if self.img_range == 1.0 else 1.0
+        outputs = []
+        for variant in diverge_images(image.astype(np.float32) / scale):
+            x = jnp.asarray(np.ascontiguousarray(variant))[None]
+            y = self._jit_forward(self.variables, x)[0]
+            outputs.append(np.asarray(y))
+        merged = converge_images(outputs) * scale
+        return np.clip(np.round(merged), 0, 255).astype(np.uint8)
+
+    # -- persistence --------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, scale: int = 4) -> "Model":
+        return cls.build(scale=scale)  # type: ignore[attr-defined]
+
+    def export(self, path: Optional[str] = None, input_shape: List[int] = [1, 256, 256, 3]) -> str:
+        """Serialize the jitted forward as StableHLO text.
+
+        The XLA-native analog of the reference's ONNX export
+        (``common.py:86-98``); the artifact is portable across XLA runtimes.
+        """
+        if path is None:
+            path = f"{self.__class__.__name__}x{self.scale}.stablehlo"
+        x = jnp.zeros(input_shape, jnp.float32)
+        lowered = jax.jit(self._forward).lower(self.variables, x)
+        with open(path, "w") as f:
+            f.write(lowered.as_text())
+        return path
+
+    def count_parameters(self) -> int:
+        leaves = jax.tree_util.tree_leaves(self.params)
+        return int(sum(np.prod(leaf.shape) for leaf in leaves))
