@@ -1,0 +1,181 @@
+"""Shape-contract and reference-parity tests for the conv model family."""
+
+import numpy as np
+import pytest
+
+from studiosr_tpu.models import ESPCN, HAN, IMDN, RCAN, SRCNN, SRResNet, VDSR
+
+from tests.reference_loader import reference_available
+
+SMALL = {
+    "rcan": dict(n_feats=16, n_resblocks=2, n_resgroups=2),
+    "han": dict(n_feats=16, n_resblocks=2, n_resgroups=2),
+    "vdsr": dict(channels=16, n_layers=3),
+    "srresnet": dict(channels=16, num_rcb=2),
+    "imdn": dict(n_feats=16, n_modules=2),
+}
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4, 8])
+@pytest.mark.parametrize("size", [8, 12])
+def test_shape_of_rcan(scale, size):
+    model = RCAN.build(scale=scale, **SMALL["rcan"])
+    y = model(np.zeros((1, size, size, 3), np.float32))
+    assert y.shape == (1, size * scale, size * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_shape_of_han(scale):
+    model = HAN.build(scale=scale, **SMALL["han"])
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+@pytest.mark.parametrize("size", [8, 12])
+def test_shape_of_vdsr(scale, size):
+    model = VDSR.build(scale=scale, **SMALL["vdsr"])
+    y = model(np.zeros((1, size, size, 3), np.float32))
+    assert y.shape == (1, size * scale, size * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_shape_of_srcnn(scale):
+    model = SRCNN.build(scale=scale, residual=bool(scale % 2))
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_shape_of_espcn(scale):
+    model = ESPCN.build(scale=scale)
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_shape_of_srresnet(scale):
+    model = SRResNet.build(scale=scale, **SMALL["srresnet"])
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+def test_srresnet_rejects_scale_3():
+    with pytest.raises(NotImplementedError):
+        SRResNet.build(scale=3, **SMALL["srresnet"])
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_shape_of_imdn(scale):
+    model = IMDN.build(scale=scale, **SMALL["imdn"])
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+# -- reference golden-value parity -----------------------------------------
+
+pytestmark_ref = pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+
+
+@pytestmark_ref
+def test_rcan_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.rcan.RCAN(scale=3, **SMALL["rcan"])
+    ours = RCAN.build(scale=3, **SMALL["rcan"])
+    assert_parity(ref, ours)
+
+
+@pytestmark_ref
+def test_han_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    # The reference hardcodes the 11-layer LAM fusion conv (n_feats * 11), so
+    # parity requires the full 10-group trunk; keep it small via n_resblocks=1.
+    cfg = dict(n_feats=16, n_resblocks=1, n_resgroups=10)
+    ref = studiosr.models.han.HAN(scale=2, **cfg)
+    ours = HAN.build(scale=2, **cfg)
+    assert_parity(ref, ours)
+
+
+@pytestmark_ref
+def test_vdsr_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.vdsr.VDSR(scale=2, **SMALL["vdsr"])
+    ours = VDSR.build(scale=2, **SMALL["vdsr"])
+    assert_parity(ref, ours, atol=5e-4)
+
+
+@pytestmark_ref
+@pytest.mark.parametrize("residual", [False, True])
+def test_srcnn_parity(residual):
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.srcnn.SRCNN(scale=2, residual=residual)
+    ours = SRCNN.build(scale=2, residual=residual)
+    assert_parity(ref, ours, atol=5e-4)
+
+
+@pytestmark_ref
+def test_espcn_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.espcn.ESPCN(scale=4)
+    ours = ESPCN.build(scale=4)
+    assert_parity(ref, ours)
+
+
+@pytestmark_ref
+def test_srresnet_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.srresnet.SRResNet(scale=4, **SMALL["srresnet"])
+    ours = SRResNet.build(scale=4, **SMALL["srresnet"])
+    assert_parity(ref, ours)
+
+
+@pytestmark_ref
+def test_imdn_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    # The reference hardcodes 6 IMDB modules regardless of n_modules, so the
+    # parity config must use n_modules=6.
+    ref = studiosr.models.imdn.IMDN(scale=4, n_feats=16, n_modules=6)
+    ours = IMDN.build(scale=4, n_feats=16, n_modules=6)
+    assert_parity(ref, ours)
