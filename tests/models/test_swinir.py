@@ -1,0 +1,53 @@
+import numpy as np
+import pytest
+
+from studiosr_tpu.models.swinir import SwinIR
+
+from tests.reference_loader import reference_available
+
+SMALL = dict(embed_dim=24, depths=[2, 2], num_heads=[2, 2], window_size=8, mlp_ratio=2.0)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4, 8])
+@pytest.mark.parametrize("size", [8, 12])
+def test_shape_of_swinir(scale, size):
+    model = SwinIR.build(scale=scale, **SMALL)
+    y = model(np.zeros((1, size, size, 3), np.float32))
+    assert y.shape == (1, size * scale, size * scale, 3)
+
+
+@pytest.mark.parametrize("upsampler", ["pixelshuffle", "pixelshuffledirect"])
+def test_swinir_upsampler_variants(upsampler):
+    model = SwinIR.build(scale=4, upsampler=upsampler, **SMALL)
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 48, 48, 3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+@pytest.mark.parametrize("size", [(20, 24), (16, 16)])
+def test_swinir_parity(size):
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.swinir.SwinIR(scale=2, **SMALL)
+    ours = SwinIR.build(scale=2, **SMALL)
+    assert_parity(ref, ours, hw=size, atol=5e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_swinir_light_parity():
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    cfg = dict(upsampler="pixelshuffledirect", **SMALL)
+    ref = studiosr.models.swinir.SwinIR(scale=4, **cfg)
+    ours = SwinIR.build(scale=4, **cfg)
+    assert_parity(ref, ours, hw=(12, 20), atol=5e-4)
