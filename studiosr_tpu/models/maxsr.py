@@ -1,0 +1,355 @@
+"""MaxSR — MaxViT-style SR: MBConv + block attention + grid attention.
+
+Capabilities of the reference ``studiosr/models/maxsr.py``: conv stem, 4
+stages of (MBConv -> block attention -> grid attention), hierarchical feature
+fusion (HFFB) over the concatenated stage outputs, PixelShuffle upsampling.
+Both the static-window mode (``adaptive=False``: fixed 8x8 windows, trained
+relative-position embeddings) and the adaptive mode (``adaptive=True``:
+window size = ceil(sqrt(H)) x ceil(sqrt(W)) per input) are provided.
+
+Parity note: the reference's adaptive attention constructs a *fresh,
+untrained* ``nn.Embedding`` relative-position bias inside every forward
+(``maxsr.py:258``), making its output nondeterministic. We replace that with
+a deterministic zero bias; static mode is bit-parity tested instead
+(SURVEY.md §7 step 5).
+
+TPU notes: block/grid partitions are reshape/transposes; the depthwise MBConv
+conv lowers to a TPU depthwise convolution; adaptive mode re-specializes the
+jit per input shape (inherent to shape-dependent windows).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from studiosr_tpu.models.base import Model
+from studiosr_tpu.models.blocks import BatchNorm, LayerNorm, Normalizer, conv, gelu
+from studiosr_tpu.ops.attention import attention_core
+from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
+from studiosr_tpu.ops.windows import relative_position_index
+
+__all__ = ["MaxSR", "MaxSRModule"]
+
+
+class SqueezeExcitation(nn.Module):
+    """Mean-pool gate with two bias-free Dense layers (``maxsr.py:58-73``)."""
+
+    dim: int
+    shrinkage_rate: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = int(self.dim * self.shrinkage_rate)
+        g = jnp.mean(x, axis=(1, 2))
+        g = nn.Dense(hidden, use_bias=False, name="gate.1")(g)
+        g = nn.silu(g)
+        g = nn.Dense(self.dim, use_bias=False, name="gate.3")(g)
+        g = nn.sigmoid(g)
+        return x * g[:, None, None, :]
+
+
+class MBConv(nn.Module):
+    """Inverted-bottleneck conv with SE gate and residual (``maxsr.py:103-122``).
+
+    Sequential names follow the torch layout: 0 expand conv, 1 BN, 3
+    depthwise conv, 4 BN, 6 SE, 7 project conv, 8 BN; under ``fn.`` when
+    wrapped in the residual (always true here: uniform dims, no downsample).
+    """
+
+    dim: int
+    expansion_rate: float = 4
+    shrinkage_rate: float = 0.25
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.expansion_rate * self.dim)
+        y = conv(hidden, 1, name="fn.0")(x)
+        y = BatchNorm(use_running_average=not train, name="fn.1")(y)
+        y = gelu(y)
+        y = conv(hidden, 3, feature_group_count=hidden, name="fn.3")(y)
+        y = BatchNorm(use_running_average=not train, name="fn.4")(y)
+        y = gelu(y)
+        y = SqueezeExcitation(hidden, self.shrinkage_rate, name="fn.6")(y)
+        y = conv(self.dim, 1, name="fn.7")(y)
+        y = BatchNorm(use_running_average=not train, name="fn.8")(y)
+        if train and self.dropout > 0.0:
+            # Dropsample: per-sample stochastic residual drop (``maxsr.py:76-90``).
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (y.shape[0], 1, 1, 1))
+            y = y * mask.astype(y.dtype) / keep
+        return y + x
+
+
+def _block_partition(x: jnp.ndarray, wh: int, ww: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """'b (x w1) (y w2) c -> (b x y) (w1 w2) c' — contiguous blocks."""
+    b, h, w, c = x.shape
+    nx, ny = h // wh, w // ww
+    x = x.reshape(b, nx, wh, ny, ww, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nx * ny, wh * ww, c), (nx, ny)
+
+
+def _block_reverse(x: jnp.ndarray, grid: Tuple[int, int], wh: int, ww: int) -> jnp.ndarray:
+    nx, ny = grid
+    bxy, _, c = x.shape
+    b = bxy // (nx * ny)
+    x = x.reshape(b, nx, ny, wh, ww, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, nx * wh, ny * ww, c)
+
+
+def _grid_partition(x: jnp.ndarray, wh: int, ww: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """'b (w1 x) (w2 y) c -> (b x y) (w1 w2) c' — strided grid tokens."""
+    b, h, w, c = x.shape
+    nx, ny = h // wh, w // ww
+    x = x.reshape(b, wh, nx, ww, ny, c).transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b * nx * ny, wh * ww, c), (nx, ny)
+
+
+def _grid_reverse(x: jnp.ndarray, grid: Tuple[int, int], wh: int, ww: int) -> jnp.ndarray:
+    nx, ny = grid
+    bxy, _, c = x.shape
+    b = bxy // (nx * ny)
+    x = x.reshape(b, nx, ny, wh, ww, c).transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, wh * nx, ww * ny, c)
+
+
+class _Attention(nn.Module):
+    """Window attention over flattened (B', N, C) tokens.
+
+    ``static=True`` uses the trained rel-pos embedding table
+    (``maxsr.py:125-196``); adaptive mode uses a zero bias (see module
+    docstring) and an extra input LayerNorm like ``Adaptive_Attention``
+    (``maxsr.py:198-279``).
+    """
+
+    dim: int
+    dim_head: int
+    window_size: int = 0  # static mode only
+    static: bool = True
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        b_, n, c = tokens.shape
+        heads = self.dim // self.dim_head
+        d = self.dim_head
+
+        if not self.static:
+            tokens = LayerNorm(name="norm")(tokens)
+
+        qkv = nn.Dense(3 * self.dim, use_bias=False, name="to_qkv")(tokens)
+        qkv = qkv.reshape(b_, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * (d**-0.5), qkv[1], qkv[2]
+
+        bias = None
+        if self.static:
+            table = nn.Embed((2 * self.window_size - 1) ** 2, heads, name="rel_pos_bias")
+            rpi = relative_position_index(self.window_size)
+            bias = table(jnp.asarray(rpi)).transpose(2, 0, 1)
+
+        out = attention_core(q, k, v, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(self.dim, use_bias=False, name="to_out.0")(out)
+
+
+class _FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim * self.mult, name="net.0")(x)
+        x = gelu(x)
+        return nn.Dense(self.dim, name="net.3")(x)
+
+
+class _AttentionPair(nn.Module):
+    """PreNorm attention + PreNorm feed-forward on partitioned tokens.
+
+    ``prefix_attn``/``prefix_ff`` carry the torch Sequential naming, which
+    differs between the static (``stages.s.d.1.{1,2}``) and adaptive
+    (``stages.s.i.{attention,feedforward}``) layouts.
+    """
+
+    dim: int
+    dim_head: int
+    window_size: int
+    static: bool
+    grid: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+        partition = _grid_partition if self.grid else _block_partition
+        reverse = _grid_reverse if self.grid else _block_reverse
+        tokens, grid_shape = partition(x, wh, ww)
+
+        attn_name = "1" if self.static else "attention"
+        ff_name = "2" if self.static else "feedforward"
+        y = LayerNorm(name=f"{attn_name}.norm")(tokens)
+        y = _Attention(
+            self.dim, self.dim_head, window_size=self.window_size, static=self.static, name=f"{attn_name}.fn"
+        )(y)
+        tokens = tokens + y
+        y = LayerNorm(name=f"{ff_name}.norm")(tokens)
+        tokens = tokens + _FeedForward(self.dim, name=f"{ff_name}.fn")(y)
+        return reverse(tokens, grid_shape, wh, ww)
+
+
+class MaxSRModule(nn.Module):
+    scale: int = 4
+    n_colors: int = 3
+    img_range: float = 1.0
+    adaptive: bool = True
+    dim: int = 128
+    dim_head: int = 32
+    depth: Tuple[int, ...] = (4, 4, 4, 4)
+    window_size: int = 8
+    mbconv_expansion_rate: float = 4
+    mbconv_shrinkage_rate: float = 0.25
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h, w = x.shape[1:3]
+        normalizer = Normalizer(self.img_range)
+        ws = self.window_size
+
+        if not self.adaptive:
+            pad_h = (ws - h % ws) % ws
+            pad_w = (ws - w % ws) % ws
+            if pad_h or pad_w:
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+
+        x = normalizer.normalize(x)
+        fm1 = conv(self.dim, 3, name="conv_stem_first")(x)
+        x = conv(self.dim, 3, name="conv_stem_second")(fm1)
+
+        stage_outputs = []
+        for s, stage_depth in enumerate(self.depth):
+            for dblock in range(stage_depth):
+                if self.adaptive:
+                    # Adaptive layout: flat ModuleList [mbconv, block, grid] * depth.
+                    base = 3 * dblock
+                    x = MBConv(
+                        self.dim,
+                        self.mbconv_expansion_rate,
+                        self.mbconv_shrinkage_rate,
+                        self.dropout,
+                        name=f"stages.{s}.{base}",
+                    )(x, train=train)
+                    hh, www = x.shape[1:3]
+                    wh, ww_ = math.ceil(math.sqrt(hh)), math.ceil(math.sqrt(www))
+                    # Pad to (wh^2, ww^2) like the reference (maxsr.py:446-449).
+                    x = jnp.pad(x, ((0, 0), (0, wh * wh - hh), (0, ww_ * ww_ - www), (0, 0)))
+                    x = _AttentionPair(
+                        self.dim, self.dim_head, 0, static=False, grid=False, name=f"stages.{s}.{base + 1}"
+                    )(x, wh, ww_)
+                    x = _AttentionPair(
+                        self.dim, self.dim_head, 0, static=False, grid=True, name=f"stages.{s}.{base + 2}"
+                    )(x, wh, ww_)
+                    # Like the reference, x stays padded (wh^2 is a fixpoint of
+                    # the window rule) until the post-stage crop (maxsr.py:459).
+                else:
+                    x = MBConv(
+                        self.dim,
+                        self.mbconv_expansion_rate,
+                        self.mbconv_shrinkage_rate,
+                        self.dropout,
+                        name=f"stages.{s}.{dblock}.0",
+                    )(x, train=train)
+                    x = _AttentionPair(
+                        self.dim, self.dim_head, ws, static=True, grid=False, name=f"stages.{s}.{dblock}.1"
+                    )(x, ws, ws)
+                    x = _AttentionPair(
+                        self.dim, self.dim_head, ws, static=True, grid=True, name=f"stages.{s}.{dblock}.2"
+                    )(x, ws, ws)
+            stage_outputs.append(x)
+
+        f_cat = jnp.concatenate(stage_outputs, axis=-1)
+        if self.adaptive:
+            f_cat = f_cat[:, :h, :w, :]
+
+        y = conv(self.dim, 1, name="HFFB.0")(f_cat)
+        y = conv(self.dim, 3, name="HFFB.1")(y)
+        y = y + fm1
+
+        s = self.scale
+        if (s & (s - 1)) == 0:
+            for i in range(int(math.log2(s))):
+                y = conv(4 * self.dim, 3, name=f"Upsample.{2 * i}")(y)
+                y = pixel_shuffle(y, 2)
+        elif s == 3:
+            y = conv(9 * self.dim, 3, name="Upsample.0")(y)
+            y = pixel_shuffle(y, 3)
+        else:
+            raise ValueError(f"scale {s} is not supported. Supported scales: 2^n and 3.")
+        y = conv(self.n_colors, 3, name="conv_last")(y)
+
+        y = normalizer.unnormalize(y)
+        if not self.adaptive:
+            y = y[:, : h * s, : w * s, :]
+        return y
+
+
+class MaxSR(Model):
+    @classmethod
+    def build(
+        cls,
+        scale: int = 4,
+        n_colors: int = 3,
+        img_range: float = 1.0,
+        adaptive: bool = True,
+        dim: int = 128,
+        dim_head: int = 32,
+        depth: Sequence[int] = (4, 4, 4, 4),
+        window_size: int = 8,
+        mbconv_expansion_rate: float = 4,
+        mbconv_shrinkage_rate: float = 0.25,
+        dropout: float = 0.1,
+        seed: int = 0,
+    ) -> "MaxSR":
+        config = dict(
+            scale=scale,
+            n_colors=n_colors,
+            img_range=img_range,
+            adaptive=adaptive,
+            dim=dim,
+            dim_head=dim_head,
+            depth=list(depth),
+            window_size=window_size,
+            mbconv_expansion_rate=mbconv_expansion_rate,
+            mbconv_shrinkage_rate=mbconv_shrinkage_rate,
+            dropout=dropout,
+        )
+        module = MaxSRModule(**{**config, "depth": tuple(depth)})
+        size = window_size if not adaptive else 9
+        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, n_colors), jnp.float32))
+        return cls(module, variables, config, {})
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        scale: int = 4,
+        light: bool = True,
+        adaptive: bool = False,
+        ckpt_path: str = None,
+    ) -> "MaxSR":
+        """Config mirror of the reference (``maxsr.py:546-576``): light builds a
+        48-dim/2-deep variant; weights only from a local checkpoint."""
+        config: Dict[str, Any] = dict(
+            scale=scale, adaptive=adaptive, dim=128, dim_head=32, depth=[4, 4, 4, 4], window_size=8, dropout=0.1
+        )
+        if light:
+            config.update(dim=48, dim_head=12, depth=[2, 2, 2, 2])
+        model = cls.build(**config)
+        if ckpt_path is not None:
+            from studiosr_tpu.zoo import load_torch_state_dict, translate_state_dict
+
+            state = load_torch_state_dict(ckpt_path)
+            model.variables, _ = translate_state_dict(state, model.variables)
+        return model

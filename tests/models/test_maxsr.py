@@ -1,0 +1,33 @@
+import numpy as np
+import pytest
+
+from studiosr_tpu.models.maxsr import MaxSR
+
+from tests.reference_loader import reference_available
+
+SMALL = dict(dim=32, dim_head=8, depth=[1, 1], window_size=8, dropout=0.0)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_shape_of_maxsr(scale, adaptive):
+    model = MaxSR.build(scale=scale, adaptive=adaptive, **SMALL)
+    y = model(np.zeros((1, 12, 12, 3), np.float32))
+    assert y.shape == (1, 12 * scale, 12 * scale, 3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_maxsr_static_parity():
+    """Static mode (trained rel-pos embeddings) is bit-parity tested; the
+    reference's adaptive mode uses an untrained random bias per forward
+    (maxsr.py:258), so no deterministic target exists there."""
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.maxsr.MaxSR(scale=2, adaptive=False, **SMALL)
+    ours = MaxSR.build(scale=2, adaptive=False, **SMALL)
+    assert_parity(ref, ours, hw=(16, 16), atol=5e-4)
