@@ -8,4 +8,5 @@ on-device evaluation protocol.
 
 __version__ = "0.1.0"
 
+from studiosr_tpu.engine import *  # noqa: F401,F403
 from studiosr_tpu.utils import *  # noqa: F401,F403

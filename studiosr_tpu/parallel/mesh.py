@@ -1,0 +1,51 @@
+"""Device mesh and sharding helpers.
+
+The TPU-native replacement for the reference's NCCL DDP stack
+(``studiosr/data/handler.py:42-57``, ``engine/trainer.py:89-91``): a 1-D
+``jax.sharding.Mesh`` over all addressable devices with a ``data`` axis.
+Parameters/optimizer state are replicated; batches are sharded on ``data``.
+Gradient all-reduce is inserted by XLA (riding ICI within a slice) when the
+jitted loss reduces over the sharded batch axis — no explicit collectives in
+user code.
+
+An optional ``tile`` axis supports spatially-sharded (sequence-parallel
+analog) inference for very large images — see parallel/tiled.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["get_mesh", "data_sharding", "replicate_sharding", "shard_batch", "replicate", "P"]
+
+
+def get_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the mesh; rest replicated."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Device-put a host batch with its leading axis sharded over the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis_name)), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicate_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,143 @@
+"""Trainer smoke tests: synthetic paired data, 8-CPU mesh data parallelism,
+checkpoint save/resume, best-PSNR gating — the end-to-end training slice."""
+
+import os
+
+import numpy as np
+import pytest
+
+from studiosr_tpu.engine import Trainer
+from studiosr_tpu.models import EDSR, SRResNet
+
+
+class SyntheticPairs:
+    """Deterministic paired dataset: gt random, lq = 2x2 box-downsampled gt."""
+
+    def __init__(self, n: int = 16, size: int = 8, scale: int = 2):
+        rng = np.random.default_rng(0)
+        self.gt = rng.random((n, size * scale, size * scale, 3), dtype=np.float32)
+        self.lq = self.gt.reshape(n, size, scale, size, scale, 3).mean(axis=(2, 4))
+
+    def __len__(self):
+        return len(self.gt)
+
+    def __getitem__(self, idx):
+        return self.lq[idx], self.gt[idx]
+
+
+class CountingEvaluator:
+    def __init__(self):
+        self.calls = 0
+
+    def run(self, func):
+        self.calls += 1
+        out = func((np.random.default_rng(1).random((8, 8, 3)) * 255).astype(np.uint8))
+        assert out.shape == (16, 16, 3)
+        return 30.0 + self.calls, 0.9
+
+
+def test_trainer_end_to_end(tmp_path):
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    dataset = SyntheticPairs()
+    evaluator = CountingEvaluator()
+    trainer = Trainer(
+        model,
+        dataset,
+        evaluator,
+        batch_size=8,
+        num_workers=2,
+        max_iters=6,
+        eval_interval=3,
+        milestones=[4],
+        ckpt_path=str(tmp_path),
+        bfloat16=False,
+        log_interval=2,
+    )
+    trainer.run()
+    assert evaluator.calls == 2
+    assert trainer.best_psnr == 32.0
+    assert os.path.exists(tmp_path / "best.model.ckpt")
+    assert os.path.exists(tmp_path / "latest.train.ckpt")
+    assert os.path.exists(tmp_path / "params.json")
+    assert os.path.exists(tmp_path / "train.log")
+
+
+def test_trainer_resume(tmp_path):
+    dataset = SyntheticPairs()
+
+    def make():
+        model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+        return Trainer(
+            model,
+            dataset,
+            None,
+            batch_size=8,
+            num_workers=1,
+            max_iters=4,
+            eval_interval=2,
+            ckpt_path=str(tmp_path),
+            bfloat16=False,
+        )
+
+    t1 = make()
+    t1.run()
+    params_before = t1.model.params
+
+    t2 = make()
+    t2.state = None
+    from studiosr_tpu.parallel import prepare_state
+
+    t2.state = prepare_state(t2.model.variables, t2.tx, t2.mesh)
+    assert t2.load("latest")
+    # Resumed params must equal the saved ones, not the fresh init.
+    a = params_before["head.0"]["kernel"]
+    b = t2.model.params["head.0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_batchnorm_model():
+    """SyncBatchNorm analog: BN model trains under the sharded step (batch
+    stats mutate globally)."""
+    model = SRResNet.build(scale=2, channels=8, num_rcb=1)
+    before = np.asarray(model.variables["batch_stats"]["trunk.0"]["rcb.1"]["mean"]).copy()
+    dataset = SyntheticPairs(size=8, scale=2)
+    trainer = Trainer(
+        model,
+        dataset,
+        None,
+        batch_size=8,
+        num_workers=1,
+        max_iters=2,
+        eval_interval=100,
+        ckpt_path="/tmp/srresnet_test_ckpt",
+        bfloat16=False,
+    )
+    trainer.run()
+    after = np.asarray(trainer.model.variables["batch_stats"]["trunk.0"]["rcb.1"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_loss_decreases():
+    model = EDSR.build(scale=2, n_feats=16, n_resblocks=2)
+    dataset = SyntheticPairs(n=8, size=8, scale=2)
+    trainer = Trainer(
+        model,
+        dataset,
+        None,
+        batch_size=8,
+        num_workers=1,
+        learning_rate=1e-3,
+        max_iters=30,
+        eval_interval=1000,
+        ckpt_path="/tmp/edsr_loss_test_ckpt",
+        bfloat16=False,
+    )
+    trainer.run()
+    # Verify training reduced L1 error on a training sample vs fresh init.
+    lq, gt = dataset[0]
+    out = np.asarray(trainer.model(lq[None]))[0]
+    final_err = np.abs(out - gt).mean()
+
+    fresh = EDSR.build(scale=2, n_feats=16, n_resblocks=2)
+    fresh_err = np.abs(np.asarray(fresh(lq[None]))[0] - gt).mean()
+    assert final_err < fresh_err
