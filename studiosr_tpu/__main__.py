@@ -1,0 +1,59 @@
+"""CLI upscaler: ``python -m studiosr_tpu --image --scale --model --output``.
+
+Same interface as the reference CLI (``studiosr/__main__.py:18-23``) with the
+same model registry (vdsr/edsr/rcan/han/swinir/hat); adds ``--tile`` for the
+tiled-patch pipeline and ``--self-ensemble`` for the 8-way TTA.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    from studiosr_tpu.models import EDSR, HAN, HAT, RCAN, VDSR, SwinIR
+    from studiosr_tpu.utils import get_image_files, imread, imwrite
+
+    models = dict(
+        vdsr=VDSR,
+        edsr=EDSR,
+        rcan=RCAN,
+        han=HAN,
+        swinir=SwinIR,
+        hat=HAT,
+    )
+
+    parser = argparse.ArgumentParser(description="StudioSR-TPU")
+    parser.add_argument("--image", type=str, default="./", help="image or directory to be upscaled")
+    parser.add_argument("--scale", type=int, default=4, help="upscaling factor -> [2, 3, 4]")
+    parser.add_argument("--model", type=str, default="swinir", help=f"model name -> {list(models.keys())}")
+    parser.add_argument("--output", type=str, default="./studiosr", help="output directory")
+    parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0 = whole image)")
+    parser.add_argument("--tile-overlap", type=int, default=16, help="tile halo in LR pixels")
+    parser.add_argument("--self-ensemble", action="store_true", help="8-way rot/flip test-time ensemble")
+    args = parser.parse_args()
+
+    path = args.image
+    paths = [path] if os.path.isfile(path) else [os.path.join(path, f) for f in get_image_files(path)]
+    images = {os.path.basename(p): imread(p) for p in paths}
+    model = models[args.model].from_pretrained(scale=args.scale)
+
+    os.makedirs(args.output, exist_ok=True)
+    for file_name, image in images.items():
+        if args.tile:
+            from studiosr_tpu.parallel.tiled import tiled_inference
+
+            out = tiled_inference(model, image, tile=args.tile, tile_overlap=args.tile_overlap)
+        elif args.self_ensemble:
+            out = model.inference_with_self_ensemble(image)
+        else:
+            out = model.inference(image)
+        name = os.path.splitext(file_name)[0]
+        save_path = os.path.join(args.output, f"{name}.{args.model}_x{args.scale}.png")
+        imwrite(save_path, out)
+        print(" -> ", save_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Tiled-patch inference: static-shape, batched, optionally mesh-sharded.
+
+The reference runs every image through one whole-image forward
+(``studiosr/models/common.py:36-48``), which under XLA would recompile per
+image shape and cap the largest processable image at HBM size. This pipeline
+replaces it for large inputs (SURVEY.md §7 step 6):
+
+  pad -> static tile batch (overlapping) -> batched forward -> overlap-discard
+  reassembly
+
+* ONE compiled program per (tile, batch) shape — image size only changes the
+  number of tiles;
+* tiles are processed in fixed-size batches (padded with zeros at the tail),
+  keeping the MXU fed;
+* with a mesh, the tile batch is sharded over devices — a spatial (SP-like)
+  decomposition of one image across chips; overlap-discard plays the role of
+  halo exchange (each tile carries its own halo).
+
+Window models are exactly tile-consistent when ``tile`` is a window multiple;
+outputs can differ from whole-image inference only through cross-window
+context beyond the overlap, which ``tile_overlap`` controls.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["tiled_inference", "tile_grid"]
+
+
+def tile_grid(size: int, tile: int, stride: int) -> np.ndarray:
+    """Start offsets covering [0, size) with final tile snapped to the edge."""
+    if size <= tile:
+        return np.array([0])
+    starts = list(range(0, size - tile + 1, stride))
+    if starts[-1] != size - tile:
+        starts.append(size - tile)
+    return np.array(starts)
+
+
+def tiled_inference(
+    model,
+    image: np.ndarray,
+    tile: int = 128,
+    tile_overlap: int = 16,
+    tile_batch: int = 8,
+    mesh=None,
+) -> np.ndarray:
+    """uint8 HWC -> upscaled uint8 HWC via overlapping tiles.
+
+    Drop-in alternative to ``model.inference`` for large images. ``tile`` and
+    ``tile_overlap`` are in LR pixels; tiles overlap by ``2*tile_overlap``
+    and only each tile's interior (non-halo) region is written to the output,
+    except at image borders where the halo is kept.
+    """
+    scale = model.scale
+    in_range = 255.0 if model.img_range == 1.0 else 1.0
+    h, w, c = image.shape
+
+    tile = min(tile, max(h, w))
+    stride = tile - 2 * tile_overlap
+    assert stride > 0, "tile_overlap too large for tile size"
+
+    # Pad so every tile fits (reflect, like the window models' own padding).
+    pad_h = max(0, tile - h)
+    pad_w = max(0, tile - w)
+    padded = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect") if (pad_h or pad_w) else image
+    ph, pw = padded.shape[:2]
+
+    ys = tile_grid(ph, tile, stride)
+    xs = tile_grid(pw, tile, stride)
+    coords = [(y, x) for y in ys for x in xs]
+
+    tiles = np.stack([padded[y : y + tile, x : x + tile] for y, x in coords])
+    tiles = tiles.astype(np.float32) / in_range
+
+    n = len(coords)
+    batch = min(tile_batch, int(2 ** math.ceil(math.log2(max(1, n)))))
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch = max(batch, n_dev)  # at least one tile per device
+
+    out_tile = tile * scale
+    output = np.zeros((ph * scale, pw * scale, c), dtype=np.float32)
+
+    for start in range(0, n, batch):
+        chunk = tiles[start : start + batch]
+        if len(chunk) < batch:  # zero-pad the tail batch to the static shape
+            fill = np.zeros((batch - len(chunk), tile, tile, c), np.float32)
+            chunk = np.concatenate([chunk, fill])
+        x = chunk
+        if mesh is not None:
+            from studiosr_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(x, mesh)
+        sr = np.asarray(model(x)) * in_range
+
+        for j, (y, x0) in enumerate(coords[start : start + batch]):
+            oy, ox = y * scale, x0 * scale
+            # Interior region: discard the halo except at the borders.
+            top = 0 if y == 0 else tile_overlap * scale
+            left = 0 if x0 == 0 else tile_overlap * scale
+            bottom = out_tile if y + tile >= ph else out_tile - tile_overlap * scale
+            right = out_tile if x0 + tile >= pw else out_tile - tile_overlap * scale
+            output[oy + top : oy + bottom, ox + left : ox + right] = sr[j, top:bottom, left:right]
+
+    output = output[: h * scale, : w * scale]
+    return np.clip(np.round(output), 0, 255).astype(np.uint8)
