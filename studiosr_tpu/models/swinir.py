@@ -213,6 +213,25 @@ class SwinIRModule(nn.Module):
 
 
 class SwinIR(Model):
+    def enable_fused(self, enabled: bool = True) -> "SwinIR":
+        """Switch inference to the fused Pallas serving path
+        (serving/swinir_fast.py): same computation, VMEM-resident blocks."""
+        self._fused = enabled
+        self._jit_forward = jax.jit(self._forward)
+        return self
+
+    def _forward(self, variables, x):
+        if getattr(self, "_fused", False):
+            from studiosr_tpu.serving import swinir_fast_forward
+
+            dtype = getattr(self, "_compute_dtype", None)
+            if dtype is not None:
+                x = x.astype(dtype)
+            interpret = jax.default_backend() == "cpu"
+            out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
+            return out.astype(jnp.float32)
+        return super()._forward(variables, x)
+
     @classmethod
     def build(
         cls,

@@ -1,0 +1,152 @@
+"""Serving-path SwinIR forward built on the fused Pallas block kernels.
+
+Runs the exact SwinIR computation (``models/swinir.py``) directly from the
+parameter pytree — convolutions via XLA, every transformer block via the two
+fused kernels in ``ops/pallas/swin_block.py``. Numerically equivalent to the
+linen forward (validated in tests/ops/test_fused_swin.py); kept separate so
+the reference-parity model code stays simple while serving gets the
+HBM-optimal path.
+
+Single-image (batch 1) eval mode only — exactly the model.inference contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
+from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block
+from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
+from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relative_position_index
+
+__all__ = ["swinir_fast_forward"]
+
+
+def _conv(x, p, stride=1):
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            p["kernel"].astype(x.dtype),
+            (stride, stride),
+            [(p["kernel"].shape[0] // 2,) * 2, (p["kernel"].shape[1] // 2,) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + p["bias"].astype(x.dtype)
+    )
+
+
+def _layernorm(x, p):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def swinir_fast_forward(
+    variables: Dict[str, Any],
+    x: jnp.ndarray,
+    config: Dict[str, Any],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Eval-mode SwinIR forward (flip-concat padding) from raw variables."""
+    params = variables["params"]
+    scale = int(config["scale"])
+    depths = list(config["depths"])
+    num_heads = list(config["num_heads"])
+    ws = int(config["window_size"])
+    img_range = float(config.get("img_range", 1.0))
+    upsampler = config.get("upsampler", "pixelshuffle")
+
+    n, h0, w0, _ = x.shape
+    assert n == 1
+    x = pad_to_multiple_flip(x, ws)
+    hgt, wdt = x.shape[1:3]
+
+    mean = jnp.asarray(DEFAULT_RGB_MEAN, x.dtype)
+    x = x / img_range - mean
+
+    x = _conv(x, params["conv_first"])
+    shallow = x
+    c = x.shape[-1]
+
+    feats = _layernorm(x, params["patch_embed.norm"])
+    mask = jnp.asarray(calculate_mask((hgt, wdt), ws, ws // 2))
+    rpi = relative_position_index(ws)
+
+    for li, depth in enumerate(depths):
+        layer = params[f"layers.{li}"]
+        res = feats
+        heads = num_heads[li]
+        for bi in range(depth):
+            blk = layer[f"residual_group.blocks.{bi}"]
+            shift = 0 if bi % 2 == 0 else ws // 2
+
+            table = blk["attn"]["relative_position_bias_table"]
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+
+            y = res
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = fused_window_attention_block(
+                y,
+                blk["norm1"]["scale"],
+                blk["norm1"]["bias"],
+                blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                blk["attn"]["proj"]["bias"],
+                bias,
+                mask if shift else None,
+                heads=heads,
+                window_size=ws,
+                interpret=interpret,
+            )
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            res = y
+
+            flat = res.reshape(hgt * wdt, c)
+            flat = fused_mlp_block(
+                flat,
+                blk["norm2"]["scale"],
+                blk["norm2"]["bias"],
+                blk["mlp"]["fc1"]["kernel"].astype(flat.dtype),
+                blk["mlp"]["fc1"]["bias"],
+                blk["mlp"]["fc2"]["kernel"].astype(flat.dtype),
+                blk["mlp"]["fc2"]["bias"],
+                interpret=interpret,
+            )
+            res = flat.reshape(1, hgt, wdt, c)
+        res = _conv(res, layer["conv"])
+        feats = res + feats
+
+    feats = _layernorm(feats, params["norm"])
+    x = _conv(feats, params["conv_after_body"]) + shallow
+
+    if upsampler == "pixelshuffle":
+        x = _conv(x, params["conv_before_upsample.0"])
+        x = jax.nn.leaky_relu(x, 0.01)
+        up = params["upsample"]
+        s = scale
+        i = 0
+        while s > 1 and (s & (s - 1)) == 0:
+            x = _conv(x, up[str(2 * i)])
+            x = pixel_shuffle(x, 2)
+            s //= 2
+            i += 1
+        if s == 3:
+            x = _conv(x, up["0"])
+            x = pixel_shuffle(x, 3)
+        x = _conv(x, params["conv_last"])
+    else:  # pixelshuffledirect
+        x = _conv(x, params["upsample"]["0"])
+        x = pixel_shuffle(x, scale)
+
+    x = (x + mean) * img_range
+    return x[:, : h0 * scale, : w0 * scale, :]

@@ -1,0 +1,54 @@
+"""Model registry + checkpoint reconstruction.
+
+The Trainer writes ``params.json`` with the model config next to each
+checkpoint (reference ``trainer.py:159-162``); this module closes the loop:
+``load_model(ckpt_dir)`` rebuilds the model class from its config and
+restores the weights from the msgpack checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Type
+
+__all__ = ["MODEL_REGISTRY", "get_model_class", "load_model"]
+
+
+def _registry() -> Dict[str, Any]:
+    from studiosr_tpu import models
+
+    return {
+        "srcnn": models.SRCNN,
+        "espcn": models.ESPCN,
+        "vdsr": models.VDSR,
+        "srresnet": models.SRResNet,
+        "edsr": models.EDSR,
+        "rcan": models.RCAN,
+        "han": models.HAN,
+        "imdn": models.IMDN,
+        "swinir": models.SwinIR,
+        "swinfir": models.SwinFIR,
+        "hat": models.HAT,
+        "maxsr": models.MaxSR,
+    }
+
+
+MODEL_REGISTRY = _registry
+
+
+def get_model_class(name: str):
+    return _registry()[name.lower()]
+
+
+def load_model(ckpt_dir: str, model_name: str, tag: str = "best"):
+    """Rebuild a model from ``{ckpt_dir}/params.json`` + ``{tag}.model.ckpt``."""
+    from flax import serialization
+
+    with open(os.path.join(ckpt_dir, "params.json")) as f:
+        config = json.load(f)
+    model = get_model_class(model_name).build(**config)
+    path = os.path.join(ckpt_dir, f"{tag}.model.ckpt")
+    with open(path, "rb") as f:
+        model.variables = serialization.from_bytes(model.variables, f.read())
+    return model

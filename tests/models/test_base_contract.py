@@ -1,0 +1,59 @@
+"""Base Model contract: self-ensemble, configs, export, registry round-trip."""
+
+import os
+
+import numpy as np
+
+from studiosr_tpu.models import EDSR
+from studiosr_tpu.models.base import converge_images, diverge_images
+
+
+def test_diverge_converge_roundtrip():
+    image = np.random.default_rng(0).random((12, 16, 3)).astype(np.float32)
+    variants = diverge_images(image)
+    assert len(variants) == 8
+    merged = converge_images(variants)
+    np.testing.assert_allclose(merged, image, atol=1e-6)
+
+
+def test_self_ensemble_shape_and_symmetry():
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    image = np.random.default_rng(0).integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    out = model.inference_with_self_ensemble(image)
+    assert out.shape == (20, 28, 3)
+    assert out.dtype == np.uint8
+
+
+def test_model_configs():
+    model = EDSR.build(scale=3, n_feats=8, n_resblocks=1)
+    cfg = model.get_model_config()
+    assert cfg["scale"] == 3 and cfg["n_feats"] == 8
+    tcfg = model.get_training_config()
+    assert tcfg["batch_size"] == 16 and tcfg["milestones"] == [200000, 400000, 600000, 800000]
+    assert model.count_parameters() > 0
+
+
+def test_export_stablehlo(tmp_path):
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    path = model.export(str(tmp_path / "edsr.stablehlo"), input_shape=[1, 8, 8, 3])
+    text = open(path).read()
+    assert "stablehlo" in text or "mhlo" in text or "func" in text
+
+
+def test_registry_checkpoint_roundtrip(tmp_path):
+    import jax
+    from flax import serialization
+
+    from studiosr_tpu.zoo.registry import load_model
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    import json
+
+    with open(tmp_path / "params.json", "w") as f:
+        json.dump(model.get_model_config(), f)
+    with open(tmp_path / "best.model.ckpt", "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(model.variables)))
+
+    restored = load_model(str(tmp_path), "edsr", tag="best")
+    x = np.random.default_rng(0).standard_normal((1, 8, 8, 3), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(model(x)), np.asarray(restored(x)), atol=1e-6)

@@ -1,0 +1,54 @@
+"""Fused Pallas Swin block kernels + serving forward vs the linen/XLA path."""
+
+import numpy as np
+import pytest
+
+from studiosr_tpu.models.swinir import SwinIR
+
+SMALL = dict(embed_dim=16, depths=[2, 2], num_heads=[2, 2], window_size=8, mlp_ratio=2.0)
+
+
+def test_fused_mlp_block_matches():
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block
+
+    rng = np.random.default_rng(0)
+    rows, c, hidden = 200, 16, 32
+    x = rng.standard_normal((rows, c), dtype=np.float32)
+    s, b = rng.standard_normal(c, dtype=np.float32), rng.standard_normal(c, dtype=np.float32)
+    w1 = rng.standard_normal((c, hidden), dtype=np.float32) * 0.1
+    b1 = rng.standard_normal(hidden, dtype=np.float32)
+    w2 = rng.standard_normal((hidden, c), dtype=np.float32) * 0.1
+    b2 = rng.standard_normal(c, dtype=np.float32)
+
+    import jax
+
+    x32 = x.astype(np.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    ln = (x32 - mu) / np.sqrt(var + 1e-5) * s + b
+    h = np.asarray(jax.nn.gelu(jnp.asarray(ln @ w1 + b1), approximate=False))
+    want = x32 + h @ w2 + b2
+
+    got = np.asarray(fused_mlp_block(jnp.asarray(x), s, b, w1, b1, w2, b2, block_rows=64, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("size", [(16, 16), (24, 32)])
+def test_fused_swinir_forward_matches_linen(size):
+    model = SwinIR.build(scale=2, **SMALL)
+    x = np.random.default_rng(0).standard_normal((1, *size, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_swinir_light_upsampler():
+    model = SwinIR.build(scale=4, upsampler="pixelshuffledirect", **SMALL)
+    x = np.random.default_rng(1).standard_normal((1, 16, 24, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
