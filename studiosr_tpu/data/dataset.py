@@ -22,6 +22,23 @@ from studiosr_tpu.utils.helpers import gdown_and_extract, get_image_files, imrea
 __all__ = ["PairedImageDataset", "DIV2K", "Flickr2K", "DF2K", "extract_subimages", "prepare_dataset"]
 
 
+def _native_crop_augment(lq, gt, size, scale, rng):
+    """One-pass C++ crop+flip+rot90+normalize with RNG draws identical to the
+    numpy transform pipeline. Returns None when the native lib is absent."""
+    from studiosr_tpu import native
+
+    if not native.native_available():
+        return None
+    r = rng if rng is not None else random
+    h, w = lq.shape[:2]
+    xs = r.randint(0, w - size)
+    ys = r.randint(0, h - size)
+    fliplr = r.random() < 0.5
+    flipud = r.random() < 0.5
+    rot90 = r.random() < 0.5
+    return native.paired_crop_augment(lq, gt, size, scale, xs, ys, fliplr, flipud, rot90)
+
+
 class PairedImageDataset:
     """Index-based paired (lq, gt) image dataset.
 
@@ -66,6 +83,12 @@ class PairedImageDataset:
 
     def get(self, idx: int, rng: Optional[random.Random] = None) -> Tuple[np.ndarray, np.ndarray]:
         lq, gt = self.get_image_pair(idx)
+        if self.transform is not None and self.to_tensor is not None:
+            # Default training pipeline: the native C++ kernel does
+            # crop+augment+normalize in one pass with identical RNG draws.
+            fast = _native_crop_augment(lq, gt, self.size, self.scale, rng)
+            if fast is not None:
+                return fast
         if self.transform is not None:
             lq, gt = self.transform(lq, gt, rng=rng)
         if self.to_tensor is not None:

@@ -178,12 +178,16 @@ def fused_window_attention_block(
         )
         operands.append(mask)
 
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ws, cw, c), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
 
@@ -214,6 +218,9 @@ def fused_mlp_block(
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel",))
     out = pl.pallas_call(
         _mlp_kernel,
         grid=((rows + pad) // block_rows,),
@@ -223,6 +230,7 @@ def fused_mlp_block(
         ],
         out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(xp, ln_scale.reshape(1, c), ln_bias.reshape(1, c), w1, b1.reshape(1, hidden), w2, b2.reshape(1, c))
     return out[:rows] if pad else out
