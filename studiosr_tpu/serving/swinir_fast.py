@@ -48,11 +48,32 @@ def _layernorm(x, p):
     return out.astype(x.dtype)
 
 
+def _xla_attention_block(y, blk, bias, mask, heads, ws):
+    """XLA fallback for the attention half (used for kernel A/B ablations)."""
+    from studiosr_tpu.ops.attention import attention_core
+    from studiosr_tpu.ops.windows import window_partition, window_reverse
+
+    _, hgt, wdt, c = y.shape
+    d = c // heads
+    ln = _layernorm(y, blk["norm1"])
+    windows = window_partition(ln, ws).reshape(-1, ws * ws, c)
+    qkv = windows @ blk["attn"]["qkv"]["kernel"].astype(y.dtype) + blk["attn"]["qkv"]["bias"].astype(y.dtype)
+    b_, n, _ = qkv.shape
+    qkv = qkv.reshape(b_, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0] * (d**-0.5), qkv[1], qkv[2]
+    out = attention_core(q, k, v, bias=bias, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    out = out @ blk["attn"]["proj"]["kernel"].astype(y.dtype) + blk["attn"]["proj"]["bias"].astype(y.dtype)
+    return y + window_reverse(out.reshape(-1, ws, ws, c), ws, hgt, wdt)
+
+
 def swinir_fast_forward(
     variables: Dict[str, Any],
     x: jnp.ndarray,
     config: Dict[str, Any],
     interpret: bool = False,
+    use_fused_attn: bool = True,
+    use_fused_mlp: bool = True,
 ) -> jnp.ndarray:
     """Eval-mode SwinIR forward (flip-concat padding) from raw variables."""
     params = variables["params"]
@@ -93,35 +114,44 @@ def swinir_fast_forward(
             y = res
             if shift:
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            y = fused_window_attention_block(
-                y,
-                blk["norm1"]["scale"],
-                blk["norm1"]["bias"],
-                blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                blk["attn"]["qkv"]["bias"],
-                blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                blk["attn"]["proj"]["bias"],
-                bias,
-                mask if shift else None,
-                heads=heads,
-                window_size=ws,
-                interpret=interpret,
-            )
+            if use_fused_attn:
+                y = fused_window_attention_block(
+                    y,
+                    blk["norm1"]["scale"],
+                    blk["norm1"]["bias"],
+                    blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                    blk["attn"]["qkv"]["bias"],
+                    blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                    blk["attn"]["proj"]["bias"],
+                    bias,
+                    mask if shift else None,
+                    heads=heads,
+                    window_size=ws,
+                    interpret=interpret,
+                )
+            else:
+                y = _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
             if shift:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y
 
             flat = res.reshape(hgt * wdt, c)
-            flat = fused_mlp_block(
-                flat,
-                blk["norm2"]["scale"],
-                blk["norm2"]["bias"],
-                blk["mlp"]["fc1"]["kernel"].astype(flat.dtype),
-                blk["mlp"]["fc1"]["bias"],
-                blk["mlp"]["fc2"]["kernel"].astype(flat.dtype),
-                blk["mlp"]["fc2"]["bias"],
-                interpret=interpret,
-            )
+            if use_fused_mlp:
+                flat = fused_mlp_block(
+                    flat,
+                    blk["norm2"]["scale"],
+                    blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["kernel"].astype(flat.dtype),
+                    blk["mlp"]["fc1"]["bias"],
+                    blk["mlp"]["fc2"]["kernel"].astype(flat.dtype),
+                    blk["mlp"]["fc2"]["bias"],
+                    interpret=interpret,
+                )
+            else:
+                ln = _layernorm(flat, blk["norm2"])
+                h1 = ln @ blk["mlp"]["fc1"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc1"]["bias"].astype(ln.dtype)
+                h1 = jax.nn.gelu(h1, approximate=False)
+                flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
             res = flat.reshape(1, hgt, wdt, c)
         res = _conv(res, layer["conv"])
         feats = res + feats
