@@ -48,6 +48,29 @@ def _layernorm(x, p):
     return out.astype(x.dtype)
 
 
+def _residual_conv(x, p):
+    """RSTB residual connection: plain conv or SwinFIR's SFB
+    (spatial branch || rfft spectral branch -> 1x1 fuse)."""
+    if "kernel" in p:
+        return _conv(x, p)
+    # SFB (models/swinfir.py): keys S / F / fusion.
+    s = _conv(x, p["S"]["body.0"])
+    s = jax.nn.leaky_relu(s, 0.2)
+    s = _conv(s, p["S"]["body.2"]) + x
+
+    f = _conv(x, p["F"]["conv_before_fft.0"])
+    f = jax.nn.leaky_relu(f, 0.2)
+    h, w = f.shape[1:3]
+    fft = jnp.fft.rfftn(f.astype(jnp.float32), axes=(1, 2), norm="ortho")
+    stacked = jnp.concatenate([fft.real, fft.imag], axis=-1).astype(x.dtype)
+    stacked = jax.nn.leaky_relu(_conv(stacked, p["F"]["fu"]["conv_layer"]), 0.2)
+    re, im = jnp.split(stacked.astype(jnp.float32), 2, axis=-1)
+    fu = jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
+    f = _conv(fu + f, p["F"]["conv_after_fft"])
+
+    return _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])
+
+
 def _packed_attention_block(y, blk, bias, mask, heads, ws, interpret=False):
     """Attention half via the MXU-aligned packed kernel (kernel v3):
     LN/qkv/proj in XLA, scores+softmax+AV in ops/pallas/packed_attn.py."""
@@ -185,11 +208,11 @@ def swinir_fast_forward(
                 h1 = jax.nn.gelu(h1, approximate=False)
                 flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
             res = flat.reshape(1, hgt, wdt, c)
-        res = _conv(res, layer["conv"])
+        res = _residual_conv(res, layer["conv"])
         feats = res + feats
 
     feats = _layernorm(feats, params["norm"])
-    x = _conv(feats, params["conv_after_body"]) + shallow
+    x = _residual_conv(feats, params["conv_after_body"]) + shallow
 
     if upsampler == "pixelshuffle":
         x = _conv(x, params["conv_before_upsample.0"])

@@ -117,6 +117,21 @@ def test_trainer_batchnorm_model():
     assert not np.allclose(before, after)
 
 
+def test_training_config_splat():
+    """The reference idiom Trainer(model, data, ev, **model.get_training_config())
+    must work with every model's published recipe (docs/README.md:32-35)."""
+    from studiosr_tpu.models import SRResNet, SwinIR
+
+    for model in [
+        EDSR.build(scale=2, n_feats=8, n_resblocks=1),
+        SRResNet.build(scale=2, channels=8, num_rcb=1),
+        SwinIR.build(scale=2, embed_dim=16, depths=[1], num_heads=[2], window_size=8),
+    ]:
+        cfg = model.get_training_config()
+        trainer = Trainer(model, SyntheticPairs(n=4), None, ckpt_path="/tmp/splat_ckpt", **cfg)
+        assert trainer.max_iters == cfg["max_iters"]
+
+
 def test_loss_decreases():
     model = EDSR.build(scale=2, n_feats=16, n_resblocks=2)
     dataset = SyntheticPairs(n=8, size=8, scale=2)

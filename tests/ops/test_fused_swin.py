@@ -63,6 +63,18 @@ def test_packed_attention_forward_matches_linen(size):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
+def test_fused_swinfir_forward_matches_linen():
+    """SwinFIR's SFB residual connections through the serving path."""
+    from studiosr_tpu.models.swinfir import SwinFIR
+
+    model = SwinFIR.build(scale=2, **SMALL)
+    x = np.random.default_rng(3).standard_normal((1, 16, 16, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_fused_swinir_light_upsampler():
     model = SwinIR.build(scale=4, upsampler="pixelshuffledirect", **SMALL)
     x = np.random.default_rng(1).standard_normal((1, 16, 24, 3), dtype=np.float32)
