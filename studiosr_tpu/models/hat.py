@@ -279,6 +279,24 @@ class HATModule(nn.Module):
 
 
 class HAT(Model):
+    def enable_fused(self, enabled: bool = True) -> "HAT":
+        """Serve via the fused Pallas block kernels (serving/hat_fast.py)."""
+        self._fused = enabled
+        self._jit_forward = jax.jit(self._forward)
+        return self
+
+    def _forward(self, variables, x):
+        if getattr(self, "_fused", False):
+            from studiosr_tpu.serving.hat_fast import hat_fast_forward
+
+            dtype = getattr(self, "_compute_dtype", None)
+            if dtype is not None:
+                x = x.astype(dtype)
+            interpret = jax.default_backend() == "cpu"
+            out = hat_fast_forward(variables, x, self.config, interpret=interpret)
+            return out.astype(jnp.float32)
+        return super()._forward(variables, x)
+
     @classmethod
     def build(
         cls,

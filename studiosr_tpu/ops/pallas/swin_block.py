@@ -141,10 +141,11 @@ def fused_window_attention_block(
     nw_row = w // ws
 
     # Chunk each window-row stripe: largest divisor of the windows-per-row
-    # count that keeps the per-program working set well under VMEM.
+    # count whose f32 score block stays within ~2.5 MB of VMEM.
+    max_chunk = max(1, min(16, (2_500_000 // (n * n * 4))))
     chunk = 1
     for cand in range(1, nw_row + 1):
-        if nw_row % cand == 0 and cand <= 16:
+        if nw_row % cand == 0 and cand <= max_chunk:
             chunk = cand
     cw = chunk * ws  # chunk width in pixels
     grid = (hgt // ws, nw_row // chunk)

@@ -1,0 +1,195 @@
+"""Serving-path HAT forward on the fused Swin block kernels.
+
+Runs the exact HAT computation (``models/hat.py``) from the parameter pytree:
+HAB blocks use the fused VMEM-resident attention kernel (16x16 windows) and
+the fused MLP kernel; the parallel CAB conv branch and the per-group OCAB
+(overlapping cross-attention) run in XLA where convolutions and the 576-token
+cross-attention are already MXU-shaped. Validated against the linen forward
+in tests/ops/test_fused_swin.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
+from studiosr_tpu.ops.attention import attention_core
+from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block
+from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
+from studiosr_tpu.ops.windows import (
+    calculate_mask,
+    pad_to_multiple_reflect,
+    relative_position_index,
+    relative_position_index_oca,
+    window_partition,
+    window_reverse,
+)
+from studiosr_tpu.serving.swinir_fast import _conv, _layernorm
+
+__all__ = ["hat_fast_forward"]
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _cab(x, p, squeeze_factor_gate=True):
+    """conv-GELU-conv + channel attention (models/hat.py CAB)."""
+    y = _conv(x, p["cab.0"])
+    y = _gelu(y)
+    y = _conv(y, p["cab.2"])
+    g = jnp.mean(y, axis=(1, 2), keepdims=True)
+    g = _conv(g, p["cab.3"]["attention.1"])
+    g = jax.nn.relu(g)
+    g = _conv(g, p["cab.3"]["attention.3"])
+    return y * jax.nn.sigmoid(g)
+
+
+def _ocab(x, p, heads, ws, overlap_ratio):
+    """Overlapping cross-attention block in XLA (models/hat.py OCAB)."""
+    import numpy as np
+
+    b, h, w, c = x.shape
+    owin = int(ws * overlap_ratio) + ws
+    pad = (owin - ws) // 2
+    d = c // heads
+
+    shortcut = x
+    ln = _layernorm(x, p["norm1"])
+    qkv = ln @ p["qkv"]["kernel"].astype(x.dtype) + p["qkv"]["bias"].astype(x.dtype)
+    q, kv = qkv[..., :c], qkv[..., c:]
+
+    q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
+    kv_pad = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    rows = np.arange(h // ws)[:, None] * ws + np.arange(owin)[None, :]
+    cols = np.arange(w // ws)[:, None] * ws + np.arange(owin)[None, :]
+    gathered = kv_pad[:, jnp.asarray(rows)][:, :, :, jnp.asarray(cols)]
+    gathered = gathered.transpose(0, 1, 3, 2, 4, 5).reshape(-1, owin * owin, 2 * c)
+    k_windows, v_windows = gathered[..., :c], gathered[..., c:]
+
+    nq, nk = ws * ws, owin * owin
+    rpi = relative_position_index_oca(ws, overlap_ratio)
+    table = p["relative_position_bias_table"]
+    bias = table[jnp.asarray(rpi.reshape(-1))].reshape(nq, nk, heads).transpose(2, 0, 1)
+
+    bw = q_windows.shape[0]
+    qh = q_windows.reshape(bw, nq, heads, d).transpose(0, 2, 1, 3) * (d**-0.5)
+    kh = k_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
+    vh = v_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
+    out = attention_core(qh, kh, vh, bias=bias)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, nq, c)
+
+    y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+    y = y @ p["proj"]["kernel"].astype(x.dtype) + p["proj"]["bias"].astype(x.dtype)
+    x = y + shortcut
+
+    flat = x.reshape(h * w, c)
+    ln2 = _layernorm(flat, p["norm2"])
+    h1 = _gelu(ln2 @ p["mlp"]["fc1"]["kernel"].astype(x.dtype) + p["mlp"]["fc1"]["bias"].astype(x.dtype))
+    flat = flat + (h1 @ p["mlp"]["fc2"]["kernel"].astype(x.dtype) + p["mlp"]["fc2"]["bias"].astype(x.dtype))
+    return flat.reshape(b, h, w, c)
+
+
+def hat_fast_forward(
+    variables: Dict[str, Any],
+    x: jnp.ndarray,
+    config: Dict[str, Any],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    params = variables["params"]
+    scale = int(config["scale"])
+    depths = list(config["depths"])
+    num_heads = list(config["num_heads"])
+    ws = int(config["window_size"])
+    img_range = float(config.get("img_range", 1.0))
+    conv_scale = float(config.get("conv_scale", 0.01))
+    overlap_ratio = float(config.get("overlap_ratio", 0.5))
+
+    n, h0, w0, _ = x.shape
+    assert n == 1
+    x = pad_to_multiple_reflect(x, ws)
+    hgt, wdt = x.shape[1:3]
+
+    mean = jnp.asarray(DEFAULT_RGB_MEAN, x.dtype)
+    x = x / img_range - mean
+
+    x = _conv(x, params["conv_first"])
+    shallow = x
+    c = x.shape[-1]
+
+    feats = _layernorm(x, params["patch_embed.norm"])
+    mask = jnp.asarray(calculate_mask((hgt, wdt), ws, ws // 2))
+    rpi = relative_position_index(ws)
+
+    for li, depth in enumerate(depths):
+        layer = params[f"layers.{li}"]
+        res = feats
+        heads = num_heads[li]
+        for bi in range(depth):
+            blk = layer[f"residual_group.blocks.{bi}"]
+            shift = 0 if bi % 2 == 0 else ws // 2
+
+            table = blk["attn"]["relative_position_bias_table"]
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+
+            conv_x = _cab(_layernorm(res, blk["norm1"]), blk["conv_block"])
+
+            y = res
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = fused_window_attention_block(
+                y,
+                blk["norm1"]["scale"],
+                blk["norm1"]["bias"],
+                blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                blk["attn"]["proj"]["bias"],
+                bias,
+                mask if shift else None,
+                heads=heads,
+                window_size=ws,
+                interpret=interpret,
+            )
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            res = y + conv_x * conv_scale
+
+            flat = res.reshape(hgt * wdt, c)
+            flat = fused_mlp_block(
+                flat,
+                blk["norm2"]["scale"],
+                blk["norm2"]["bias"],
+                blk["mlp"]["fc1"]["kernel"].astype(flat.dtype),
+                blk["mlp"]["fc1"]["bias"],
+                blk["mlp"]["fc2"]["kernel"].astype(flat.dtype),
+                blk["mlp"]["fc2"]["bias"],
+                interpret=interpret,
+            )
+            res = flat.reshape(1, hgt, wdt, c)
+
+        res = _ocab(res, layer["residual_group.overlap_attn"], heads, ws, overlap_ratio)
+        res = _conv(res, layer["conv"]) + feats
+        feats = res
+
+    feats = _layernorm(feats, params["norm"])
+    x = _conv(feats, params["conv_after_body"]) + shallow
+    x = _conv(x, params["conv_before_upsample.0"])
+    x = jax.nn.leaky_relu(x, 0.01)
+    up = params["upsample"]
+    s, i = scale, 0
+    while s > 1 and (s & (s - 1)) == 0:
+        x = _conv(x, up[str(2 * i)])
+        x = pixel_shuffle(x, 2)
+        s //= 2
+        i += 1
+    if s == 3:
+        x = _conv(x, up["0"])
+        x = pixel_shuffle(x, 3)
+    x = _conv(x, params["conv_last"])
+
+    x = (x + mean) * img_range
+    return x[:, : h0 * scale, : w0 * scale, :]

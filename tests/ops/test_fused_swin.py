@@ -75,6 +75,18 @@ def test_fused_swinfir_forward_matches_linen():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("size", [(16, 16), (24, 40)])
+def test_fused_hat_forward_matches_linen(size):
+    from studiosr_tpu.models.hat import HAT
+
+    model = HAT.build(scale=2, embed_dim=30, depths=[2], num_heads=[2], window_size=8, mlp_ratio=2.0)
+    x = np.random.default_rng(4).standard_normal((1, *size, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
 def test_fused_swinir_light_upsampler():
     model = SwinIR.build(scale=4, upsampler="pixelshuffledirect", **SMALL)
     x = np.random.default_rng(1).standard_normal((1, 16, 24, 3), dtype=np.float32)
