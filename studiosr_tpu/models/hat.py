@@ -251,9 +251,12 @@ class HATModule(nn.Module):
         feats = LayerNorm(name="patch_embed.norm")(x)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        # Remat each RHAG in backward (see models/swinir.py): window 16 makes
+        # the per-block attention-map residuals 4x larger than SwinIR's.
+        rhag_cls = nn.remat(RHAG, static_argnums=(2,))
         for i, depth in enumerate(self.depths):
             start = sum(self.depths[:i])
-            feats = RHAG(
+            feats = rhag_cls(
                 dim=self.embed_dim,
                 depth=depth,
                 num_heads=self.num_heads[i],
@@ -265,7 +268,7 @@ class HATModule(nn.Module):
                 overlap_ratio=self.overlap_ratio,
                 drop_path=tuple(dpr[start : start + depth]),
                 name=f"layers.{i}",
-            )(feats, train=train)
+            )(feats, train)
         feats = LayerNorm(name="norm")(feats)
 
         x = conv(self.embed_dim, 3, name="conv_after_body")(feats) + shallow

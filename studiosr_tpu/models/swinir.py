@@ -178,9 +178,13 @@ class SwinIRModule(nn.Module):
         feats = LayerNorm(name="patch_embed.norm")(x)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        # Rematerialize each RSTB in the backward pass: the per-block f32
+        # attention maps would otherwise dominate HBM as saved residuals
+        # (36 x ~100s of MB at training shapes). Free at inference.
+        rstb_cls = nn.remat(RSTB, static_argnums=(2,))
         for i, depth in enumerate(self.depths):
             start = sum(self.depths[:i])
-            feats = RSTB(
+            feats = rstb_cls(
                 dim=self.embed_dim,
                 depth=depth,
                 num_heads=self.num_heads[i],
@@ -190,7 +194,7 @@ class SwinIRModule(nn.Module):
                 drop_path=tuple(dpr[start : start + depth]),
                 resi_connection=self.resi_connection,
                 name=f"layers.{i}",
-            )(feats, train=train)
+            )(feats, train)
         feats = LayerNorm(name="norm")(feats)
 
         if self.conv_after_body is not None:
