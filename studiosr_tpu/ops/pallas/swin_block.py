@@ -33,6 +33,10 @@ import numpy as np
 
 __all__ = ["fused_window_attention_block", "fused_mlp_block"]
 
+# Tunables for the per-program working set (see fused_window_attention_block).
+MAX_CHUNK_WINDOWS = 16
+SCORE_VMEM_BUDGET = 2_500_000  # bytes of f32 scores per head
+
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
     """erf via the Abramowitz-Stegun 7.1.26 rational approximation (max error
@@ -141,8 +145,8 @@ def fused_window_attention_block(
     nw_row = w // ws
 
     # Chunk each window-row stripe: largest divisor of the windows-per-row
-    # count whose f32 score block stays within ~2.5 MB of VMEM.
-    max_chunk = max(1, min(16, (2_500_000 // (n * n * 4))))
+    # count whose f32 score block stays within the VMEM score budget.
+    max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
     chunk = 1
     for cand in range(1, nw_row + 1):
         if nw_row % cand == 0 and cand <= max_chunk:
