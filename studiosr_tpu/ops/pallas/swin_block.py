@@ -80,13 +80,13 @@ def _attn_block_kernel(
     x = x_ref[0]  # (ws, W, C)
     ln = _layernorm(x.astype(jnp.float32), ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
 
+    # Stripe -> windows BEFORE the qkv projection: the relayouted tensor is C
+    # wide instead of 3C (the matmul output needs no transpose).
+    ln_windows = ln.astype(x.dtype).reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(nw * n, c)
     qkv = (
-        jnp.dot(ln.reshape(ws * w, c).astype(x.dtype), wqkv_ref[...], preferred_element_type=jnp.float32)
-        + bqkv_ref[0].astype(jnp.float32)
-    ).astype(x.dtype)  # (ws*W, 3C); compute dtype to halve the VMEM temps
-
-    # Stripe -> windows: (ws, nw, ws, 3C) -> (nw, ws*ws, 3C).
-    qkv = qkv.reshape(ws, nw, ws, 3 * c).transpose(1, 0, 2, 3).reshape(nw, n, 3 * c)
+        jnp.dot(ln_windows, wqkv_ref[...], preferred_element_type=jnp.float32) + bqkv_ref[0].astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = qkv.reshape(nw, n, 3 * c)
 
     scale = jnp.asarray(float(d) ** -0.5, x.dtype)
     head_outs = []
@@ -102,13 +102,13 @@ def _attn_block_kernel(
             scores = scores + mask_ref[...].astype(jnp.float32)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        head_outs.append(
-            jax.lax.dot_general(
-                probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )  # (nw, N, d)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        av = jax.lax.dot_general(
+            probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # Normalize after AV: divides (nw, N, d) instead of (nw, N, N).
+        head_outs.append((av / denom).astype(x.dtype))
 
     attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, C)
     # Windows -> stripe.
