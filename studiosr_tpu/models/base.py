@@ -19,9 +19,7 @@ TPU-native design differences:
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Numerical parity notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

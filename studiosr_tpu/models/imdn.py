@@ -11,8 +11,6 @@ statistic (per-channel spatial stddev) is a pair of reductions.
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

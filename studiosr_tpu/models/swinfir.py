@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from studiosr_tpu.models.blocks import conv
-from studiosr_tpu.models.swinir import SwinIR, SwinIRModule
+from studiosr_tpu.models.swinir import SwinIR
 
 __all__ = ["SwinFIR", "SFB", "FourierUnit", "SpectralTransform", "SpatialB"]
 

@@ -26,7 +26,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["packed_window_attention", "pack_head_weights"]
 

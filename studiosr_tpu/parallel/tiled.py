@@ -24,9 +24,6 @@ context beyond the overlap, which ``tile_overlap`` controls.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
-import jax
 import numpy as np
 
 __all__ = ["tiled_inference", "tile_grid"]

@@ -18,14 +18,14 @@ and the loss/gradients come back in float32 — the autocast analog
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence
 
 import flax
 import jax
 import jax.numpy as jnp
 import optax
 
-from studiosr_tpu.parallel.mesh import data_sharding, get_mesh, replicate, replicate_sharding, shard_batch
+from studiosr_tpu.parallel.mesh import data_sharding, get_mesh, replicate, replicate_sharding
 
 __all__ = ["TrainState", "multistep_schedule", "build_optimizer", "make_train_step"]
 

@@ -12,12 +12,10 @@ Single-image (batch 1) eval mode only — exactly the model.inference contract.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
 from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block

@@ -16,7 +16,7 @@ import os
 import re
 import tempfile
 import zipfile
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

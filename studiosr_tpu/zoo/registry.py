@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Type
+from typing import Any, Dict
 
 __all__ = ["MODEL_REGISTRY", "get_model_class", "load_model"]
 
