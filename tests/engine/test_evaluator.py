@@ -60,6 +60,30 @@ def test_evaluator2_layout_and_on_device_metrics(tmp_path):
     assert abs(s1 - s2) < 1e-4
 
 
+def test_benchmark_sweep_table(tmp_path, monkeypatch, capsys):
+    """Evaluator.benchmark markdown sweep over two synthetic datasets."""
+    for name in ["FakeA", "FakeB"]:
+        _make_benchmark(str(tmp_path / name), "v1", scale=2, n=2)
+    monkeypatch.setattr(Evaluator, "download_dataset", classmethod(lambda cls, root, dataset: str(tmp_path / dataset)))
+
+    def make_eval(dataset, scale):
+        ev = Evaluator.__new__(Evaluator)
+        ev.dataset, ev.scale = dataset, scale
+        from studiosr_tpu.data import PairedImageDataset
+
+        root = str(tmp_path / dataset)
+        ev.testset = PairedImageDataset(os.path.join(root, "GTmod12"), os.path.join(root, "LRbicx2"))
+        return ev
+
+    import studiosr_tpu.engine.evaluator as ev_mod
+
+    monkeypatch.setattr(ev_mod, "Evaluator", make_eval)
+    psnrs, ssims = Evaluator.benchmark(_nearest_sr(2), scale=2, datasets=["FakeA", "FakeB"])
+    assert len(psnrs) == 2 and len(ssims) == 2
+    out = capsys.readouterr().out
+    assert "| Metric |" in out and "FakeA" in out and "FakeB" in out
+
+
 def test_evaluator_with_model(tmp_path):
     from studiosr_tpu.models import EDSR
 
