@@ -25,7 +25,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Model", "diverge_images", "converge_images"]
+__all__ = ["Model", "diverge_images", "converge_images", "fast_init_variables"]
+
+
+def fast_init_variables(module, x_shape, seed: int = 0):
+    """Zero-filled variables with the module's exact tree/shapes/dtypes.
+
+    ``module.init`` executes the whole forward (minutes for flagship models
+    on CPU); this only traces shapes. Use where the values are irrelevant —
+    benchmarking, compile checks, or weights about to be overwritten by a
+    checkpoint. Fresh training should use the real initializers.
+    """
+    shapes = jax.eval_shape(
+        lambda rng, x: module.init(rng, x), jax.random.PRNGKey(seed), jnp.zeros(x_shape, jnp.float32)
+    )
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
 def diverge_images(image: np.ndarray) -> List[np.ndarray]:

@@ -251,6 +251,7 @@ class SwinIR(Model):
         drop_path_rate: float = 0.1,
         upsampler: str = "pixelshuffle",
         seed: int = 0,
+        fast_init: bool = False,
         _module_cls=None,
         **extra,
     ) -> "SwinIR":
@@ -272,9 +273,14 @@ class SwinIR(Model):
             **{**config, "depths": tuple(depths), "num_heads": tuple(num_heads)}, **extra
         )
         size = 2 * window_size
-        variables = module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, n_colors), jnp.float32)
-        )
+        if fast_init:
+            from studiosr_tpu.models.base import fast_init_variables
+
+            variables = fast_init_variables(module, (1, size, size, n_colors), seed)
+        else:
+            variables = module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, size, size, n_colors), jnp.float32)
+            )
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -296,14 +302,18 @@ class SwinIR(Model):
             config.update(depths=[6, 6, 6, 6], embed_dim=60, num_heads=[6, 6, 6, 6], upsampler="pixelshuffledirect")
             task, dataset, img_size, label = "002_lightweightSR", "DIV2K", 64, "S"
 
-        model = cls.build(**config)
+        # fast_init: every parameter is covered by the release checkpoints, so
+        # skip the expensive real init (values are fully overwritten).
+        model = cls.build(**config, fast_init=bool(pretrained))
         if pretrained:
             from studiosr_tpu.zoo import fetch, load_torch_state_dict, translate_state_dict
 
             file_name = f"{task}_{dataset}_s{img_size}w8_SwinIR-{label}_x{scale}.pth"
             path = fetch(file_name, url=f"https://github.com/JingyunLiang/SwinIR/releases/download/v0.0/{file_name}")
             state = load_torch_state_dict(path, key="auto")
-            model.variables, _ = translate_state_dict(state, model.variables, strict=False)
+            model.variables, report = translate_state_dict(state, model.variables, strict=False)
+            if report.missing:
+                print(f"warning: {len(report.missing)} parameters missing from checkpoint: {report.missing[:5]} ...")
         return model
 
 
