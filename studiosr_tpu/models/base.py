@@ -42,6 +42,14 @@ def fast_init_variables(module, x_shape, seed: int = 0):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
+def init_variables(module, x_shape, seed: int = 0, fast: bool = False):
+    """Module variables: real initializers, or shape-only zeros when ``fast``
+    (for checkpoint-bound or benchmark builds)."""
+    if fast:
+        return fast_init_variables(module, x_shape, seed)
+    return module.init(jax.random.PRNGKey(seed), jnp.zeros(x_shape, jnp.float32))
+
+
 def diverge_images(image: np.ndarray) -> List[np.ndarray]:
     """The 8 rot90 x fliplr variants of an HWC image (``common.py:10-16``)."""
     out = []

@@ -57,6 +57,7 @@ class EDSR(Model):
         n_resblocks: int = 32,
         res_scale: float = 0.1,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "EDSR":
         config = dict(
             scale=scale,
@@ -67,7 +68,9 @@ class EDSR(Model):
             res_scale=res_scale,
         )
         module = EDSRModule(**config)
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, n_colors), jnp.float32))
+        from studiosr_tpu.models.base import init_variables
+
+        variables = init_variables(module, (1, 16, 16, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -83,7 +86,7 @@ class EDSR(Model):
                 3: "https://cv.snu.ac.kr/research/EDSR/models/edsr_x3-ea3ef2c6.pt",
                 4: "https://cv.snu.ac.kr/research/EDSR/models/edsr_x4-4f62e9ef.pt",
             }
-            model = cls.build(scale=scale, img_range=255.0)
+            model = cls.build(scale=scale, img_range=255.0, fast_init=True)
             path = fetch(f"r32f256x{scale}.pth", url=urls[scale])
         else:
             file_ids = {
@@ -91,7 +94,7 @@ class EDSR(Model):
                 3: "1H1yFCFK14Z0DWAZHCtGXcWS6377fbkJE",
                 4: "1TeH67rKNSR3dXs56aLqsA-UvLL3TZL-g",
             }
-            model = cls.build(scale=scale)
+            model = cls.build(scale=scale, fast_init=True)
             path = fetch(f"EDSRx{scale}.pth", gdrive_id=file_ids[scale])
 
         state = load_torch_state_dict(path)

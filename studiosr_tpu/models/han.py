@@ -116,6 +116,7 @@ class HAN(Model):
         n_resgroups: int = 10,
         reduction: int = 16,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "HAN":
         config = dict(
             scale=scale,
@@ -127,7 +128,9 @@ class HAN(Model):
             reduction=reduction,
         )
         module = HANModule(**config)
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, n_colors), jnp.float32))
+        from studiosr_tpu.models.base import init_variables
+
+        variables = init_variables(module, (1, 16, 16, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -141,7 +144,7 @@ class HAN(Model):
             4: "1f86ez0hgFLwe9hjhQogHpkACtYgfqrRi",
             8: "1Z5mYsASGKfn77ze25EjS8sUNAJ-KjzpO",
         }
-        model = cls.build(scale=scale, img_range=255.0)
+        model = cls.build(scale=scale, img_range=255.0, fast_init=True)
         path = fetch(f"HAN_BIX{scale}.pt", gdrive_id=file_ids[scale])
         state = load_torch_state_dict(path)
         model.variables, _ = translate_state_dict(state, model.variables, strict=False)

@@ -318,6 +318,7 @@ class HAT(Model):
         conv_scale: float = 0.01,
         overlap_ratio: float = 0.5,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "HAT":
         config = dict(
             scale=scale,
@@ -336,8 +337,10 @@ class HAT(Model):
             overlap_ratio=overlap_ratio,
         )
         module = HATModule(**{**config, "depths": tuple(depths), "num_heads": tuple(num_heads)})
+        from studiosr_tpu.models.base import init_variables
+
         size = window_size
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, n_colors), jnp.float32))
+        variables = init_variables(module, (1, size, size, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -350,7 +353,7 @@ class HAT(Model):
             3: "1dWG4X_6VUSi1hhIwX0zEwddWI9M0tFmI",
             4: "1pdhaO1fJq3tgSqDIbymdDiGxu4S0nqVq",
         }
-        model = cls.build(scale=scale)
+        model = cls.build(scale=scale, fast_init=True)
         path = fetch(f"HAT_SRx{scale}.pth", gdrive_id=file_ids[scale])
         state = load_torch_state_dict(path, key="params_ema")
         model.variables, _ = translate_state_dict(state, model.variables)

@@ -91,6 +91,7 @@ class RCAN(Model):
         n_resgroups: int = 10,
         reduction: int = 16,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "RCAN":
         config = dict(
             scale=scale,
@@ -102,7 +103,9 @@ class RCAN(Model):
             reduction=reduction,
         )
         module = RCANModule(**config)
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, n_colors), jnp.float32))
+        from studiosr_tpu.models.base import init_variables
+
+        variables = init_variables(module, (1, 16, 16, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -118,7 +121,7 @@ class RCAN(Model):
         if not os.path.exists(rcan_path):
             os.makedirs(pretrained_dir, exist_ok=True)
             gdown_and_extract(id="10bEK-NxVtOS9-XSeyOZyaRmxUTX3iIRa", save_dir=pretrained_dir)
-        model = cls.build(scale=scale, img_range=255.0)
+        model = cls.build(scale=scale, img_range=255.0, fast_init=True)
         state = load_torch_state_dict(os.path.join(rcan_path, f"RCAN_BIX{scale}.pt"))
         model.variables, _ = translate_state_dict(state, model.variables, strict=False)
         return model
