@@ -82,6 +82,26 @@ def test_loader_rank_sharding(tmp_path):
     assert (seen[0] | seen[1]).isdisjoint(seen[2] | seen[3])
 
 
+def test_extract_subimages_grid(tmp_path):
+    """Sliding-window sub-image extraction incl. edge-snapped final crops."""
+    import cv2
+
+    from studiosr_tpu.data import extract_subimages
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    img = np.random.default_rng(0).integers(0, 256, (70, 100, 3), dtype=np.uint8)
+    cv2.imwrite(os.path.join(in_dir, "pic_x2.png"), img)
+
+    extract_subimages(in_dir, out_dir, crop_size=48, step=24)
+    files = sorted(os.listdir(out_dir))
+    # y starts: 0, 22 (snapped); x starts: 0, 24, 48, 52 (snapped) -> 2*4 crops
+    assert len(files) == 8
+    assert files[0].startswith("pic_")  # x2 tag stripped
+    crop = cv2.imread(os.path.join(out_dir, files[0]))
+    assert crop.shape == (48, 48, 3)
+
+
 def test_data_handler_topology():
     class Tiny:
         def __len__(self):
