@@ -35,7 +35,7 @@ __all__ = ["fused_window_attention_block", "fused_mlp_block"]
 
 # Tunables for the per-program working set (see fused_window_attention_block).
 MAX_CHUNK_WINDOWS = 16
-SCORE_VMEM_BUDGET = 2_500_000  # bytes of f32 scores per head
+SCORE_VMEM_BUDGET = 1_300_000  # bytes of f32 scores per head (ws16 -> 4 windows)
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
