@@ -139,7 +139,6 @@ def fused_window_attention_block(
     from jax.experimental.pallas import tpu as pltpu
 
     b, hgt, w, c = x.shape
-    assert b == 1, "fused path is single-image (inference)"
     ws = window_size
     n = ws * ws
     nw_row = w // ws
@@ -152,7 +151,7 @@ def fused_window_attention_block(
         if nw_row % cand == 0 and cand <= max_chunk:
             chunk = cand
     cw = chunk * ws  # chunk width in pixels
-    grid = (hgt // ws, nw_row // chunk)
+    grid = (b, hgt // ws, nw_row // chunk)
 
     kernel = functools.partial(_attn_block_kernel, heads=heads, window_size=ws)
     if mask is None:
@@ -163,9 +162,9 @@ def fused_window_attention_block(
             )
         kernel = kernel_nomask
 
-    full = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, ws, cw, c), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         full(1, c),
         full(1, c),
         full(c, 3 * c),
@@ -178,19 +177,20 @@ def fused_window_attention_block(
                 wproj, bproj.reshape(1, c), bias]
     n_chunks = nw_row // chunk
     if mask is not None:
+        # Shift mask is shared across the batch (same static image size).
         in_specs.append(
-            pl.BlockSpec((chunk, n, n), lambda i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mask)
 
     compiler_params = None
     if not interpret:
-        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel"))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, cw, c), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=compiler_params,
         interpret=interpret,

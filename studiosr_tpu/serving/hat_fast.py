@@ -86,7 +86,7 @@ def _ocab(x, p, heads, ws, overlap_ratio):
     y = y @ p["proj"]["kernel"].astype(x.dtype) + p["proj"]["bias"].astype(x.dtype)
     x = y + shortcut
 
-    flat = x.reshape(h * w, c)
+    flat = x.reshape(b * h * w, c)
     ln2 = _layernorm(flat, p["norm2"])
     h1 = _gelu(ln2 @ p["mlp"]["fc1"]["kernel"].astype(x.dtype) + p["mlp"]["fc1"]["bias"].astype(x.dtype))
     flat = flat + (h1 @ p["mlp"]["fc2"]["kernel"].astype(x.dtype) + p["mlp"]["fc2"]["bias"].astype(x.dtype))
@@ -109,7 +109,6 @@ def hat_fast_forward(
     overlap_ratio = float(config.get("overlap_ratio", 0.5))
 
     n, h0, w0, _ = x.shape
-    assert n == 1
     x = pad_to_multiple_reflect(x, ws)
     hgt, wdt = x.shape[1:3]
 
@@ -158,7 +157,7 @@ def hat_fast_forward(
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y + conv_x * conv_scale
 
-            flat = res.reshape(hgt * wdt, c)
+            flat = res.reshape(n * hgt * wdt, c)
             flat = fused_mlp_block(
                 flat,
                 blk["norm2"]["scale"],
@@ -169,7 +168,7 @@ def hat_fast_forward(
                 blk["mlp"]["fc2"]["bias"],
                 interpret=interpret,
             )
-            res = flat.reshape(1, hgt, wdt, c)
+            res = flat.reshape(n, hgt, wdt, c)
 
         res = _ocab(res, layer["residual_group.overlap_attn"], heads, ws, overlap_ratio)
         res = _conv(res, layer["conv"]) + feats

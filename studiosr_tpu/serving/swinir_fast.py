@@ -7,7 +7,8 @@ linen forward (validated in tests/ops/test_fused_swin.py); kept separate so
 the reference-parity model code stays simple while serving gets the
 HBM-optimal path.
 
-Single-image (batch 1) eval mode only — exactly the model.inference contract.
+Supports batched inputs (all images share the static padded size); the
+model.inference contract uses batch 1.
 """
 
 from __future__ import annotations
@@ -136,7 +137,6 @@ def swinir_fast_forward(
     upsampler = config.get("upsampler", "pixelshuffle")
 
     n, h0, w0, _ = x.shape
-    assert n == 1
     x = pad_to_multiple_flip(x, ws)
     hgt, wdt = x.shape[1:3]
 
@@ -188,7 +188,7 @@ def swinir_fast_forward(
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y
 
-            flat = res.reshape(hgt * wdt, c)
+            flat = res.reshape(n * hgt * wdt, c)
             if use_fused_mlp:
                 flat = fused_mlp_block(
                     flat,
@@ -205,7 +205,7 @@ def swinir_fast_forward(
                 h1 = ln @ blk["mlp"]["fc1"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc1"]["bias"].astype(ln.dtype)
                 h1 = jax.nn.gelu(h1, approximate=False)
                 flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
-            res = flat.reshape(1, hgt, wdt, c)
+            res = flat.reshape(n, hgt, wdt, c)
         res = _residual_conv(res, layer["conv"])
         feats = res + feats
 

@@ -92,10 +92,18 @@ _GDRIVE_URL = "https://drive.google.com/uc?export=download"
 def download_gdrive(id: str, output: str) -> str:
     """Download a (possibly large) public Google-Drive file by id.
 
-    Replaces the reference's ``gdown.download`` dependency with a direct
-    requests implementation that handles the confirm-token redirect for
-    files too large for virus scanning.
+    Uses ``gdown`` when installed (most robust against Drive endpoint
+    changes); otherwise falls back to a direct requests implementation that
+    handles the confirm-token redirect for large files.
     """
+    try:
+        import gdown  # type: ignore
+
+        gdown.download(id=id, output=output, quiet=False)
+        return output
+    except ImportError:
+        pass
+
     import requests
 
     session = requests.Session()

@@ -63,6 +63,16 @@ def test_packed_attention_forward_matches_linen(size):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
+def test_fused_swinir_batched_matches_linen():
+    """Batched serving: fused kernels over batch > 1."""
+    model = SwinIR.build(scale=2, **SMALL)
+    x = np.random.default_rng(5).standard_normal((3, 16, 16, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
 def test_fused_swinfir_forward_matches_linen():
     """SwinFIR's SFB residual connections through the serving path."""
     from studiosr_tpu.models.swinfir import SwinFIR
