@@ -56,13 +56,38 @@ def _layernorm(x32: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
+    """Re-lay the qkv/proj weights so each head occupies a 32-aligned
+    ``dp``-lane group (zero padding). Misaligned lane slices force Mosaic
+    relayouts inside the kernel — measured at ~0.2 ms/block at SwinIR scale.
+    The 1/sqrt(d) query scale is folded into the q weights/bias."""
+    c = wqkv.shape[0]
+    scale = float(d) ** -0.5
+
+    def pad_section(w, b, s):
+        w = (w.reshape(c, heads, d) * s).astype(wqkv.dtype)
+        b = (b.reshape(heads, d) * s).astype(wqkv.dtype)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d))).reshape(c, heads * dp)
+        b = jnp.pad(b, ((0, 0), (0, dp - d))).reshape(heads * dp)
+        return w, b
+
+    wq, bq = pad_section(wqkv[:, :c], bqkv[:c], scale)
+    wk, bk = pad_section(wqkv[:, c : 2 * c], bqkv[c : 2 * c], 1.0)
+    wv, bv = pad_section(wqkv[:, 2 * c :], bqkv[2 * c :], 1.0)
+    wqkv_pad = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*heads*dp)
+    bqkv_pad = jnp.concatenate([bq, bk, bv])
+    # proj rows gain matching zero rows per head.
+    wproj_pad = jnp.pad(wproj.reshape(heads, d, c), ((0, 0), (0, dp - d), (0, 0))).reshape(heads * dp, c)
+    return wqkv_pad, bqkv_pad, wproj_pad
+
+
 def _attn_block_kernel(
     x_ref,  # (1, ws, W, C)
     ln_scale_ref,  # (1, C)
     ln_bias_ref,  # (1, C)
-    wqkv_ref,  # (C, 3C)
-    bqkv_ref,  # (1, 3C)
-    wproj_ref,  # (C, C)
+    wqkv_ref,  # (C, 3*heads*dp) head-padded, q pre-scaled
+    bqkv_ref,  # (1, 3*heads*dp)
+    wproj_ref,  # (heads*dp, C)
     bproj_ref,  # (1, C)
     bias_ref,  # (heads, N, N)
     mask_ref,  # (nw, N, N) or None
@@ -70,12 +95,13 @@ def _attn_block_kernel(
     *,
     heads: int,
     window_size: int,
+    dp: int,
 ):
     ws = window_size
     _, _, w, c = x_ref.shape
     nw = w // ws
     n = ws * ws
-    d = c // heads
+    s = heads * dp
 
     x = x_ref[0]  # (ws, W, C)
     ln = _layernorm(x.astype(jnp.float32), ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
@@ -86,14 +112,13 @@ def _attn_block_kernel(
     qkv = (
         jnp.dot(ln_windows, wqkv_ref[...], preferred_element_type=jnp.float32) + bqkv_ref[0].astype(jnp.float32)
     ).astype(x.dtype)
-    qkv = qkv.reshape(nw, n, 3 * c)
+    qkv = qkv.reshape(nw, n, 3 * s)
 
-    scale = jnp.asarray(float(d) ** -0.5, x.dtype)
     head_outs = []
     for h in range(heads):
-        q = qkv[:, :, h * d : (h + 1) * d] * scale
-        k = qkv[:, :, c + h * d : c + h * d + d]
-        v = qkv[:, :, 2 * c + h * d : 2 * c + h * d + d]
+        q = qkv[:, :, h * dp : (h + 1) * dp]
+        k = qkv[:, :, s + h * dp : s + (h + 1) * dp]
+        v = qkv[:, :, 2 * s + h * dp : 2 * s + (h + 1) * dp]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (nw, N, N)
@@ -107,12 +132,12 @@ def _attn_block_kernel(
             probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # Normalize after AV: divides (nw, N, d) instead of (nw, N, N).
+        # Normalize after AV: divides (nw, N, dp) instead of (nw, N, N).
         head_outs.append((av / denom).astype(x.dtype))
 
-    attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, C)
+    attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, heads*dp)
     # Windows -> stripe.
-    attn = attn.reshape(nw, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws * w, c)
+    attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
     proj = (
         jnp.dot(attn, wproj_ref[...], preferred_element_type=jnp.float32)
         + bproj_ref[0].astype(jnp.float32)
@@ -153,12 +178,17 @@ def fused_window_attention_block(
     cw = chunk * ws  # chunk width in pixels
     grid = (b, hgt // ws, nw_row // chunk)
 
-    kernel = functools.partial(_attn_block_kernel, heads=heads, window_size=ws)
+    d = c // heads
+    dp = ((d + 31) // 32) * 32
+    s = heads * dp
+    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
+
+    kernel = functools.partial(_attn_block_kernel, heads=heads, window_size=ws, dp=dp)
     if mask is None:
         def kernel_nomask(x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, out_ref):
             _attn_block_kernel(
                 x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
-                heads=heads, window_size=ws,
+                heads=heads, window_size=ws, dp=dp,
             )
         kernel = kernel_nomask
 
@@ -167,14 +197,14 @@ def fused_window_attention_block(
         pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         full(1, c),
         full(1, c),
-        full(c, 3 * c),
-        full(1, 3 * c),
-        full(c, c),
+        full(c, 3 * s),
+        full(1, 3 * s),
+        full(s, c),
         full(1, c),
         full(bias.shape[0], n, n),
     ]
-    operands = [x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv, bqkv.reshape(1, -1),
-                wproj, bproj.reshape(1, c), bias]
+    operands = [x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_pad, bqkv_pad.reshape(1, -1),
+                wproj_pad, bproj.reshape(1, c), bias]
     n_chunks = nw_row // chunk
     if mask is not None:
         # Shift mask is shared across the batch (same static image size).
