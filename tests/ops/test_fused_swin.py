@@ -63,6 +63,21 @@ def test_packed_attention_forward_matches_linen(size):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
+def test_fused_inference_uint8_contract():
+    """model.inference through the fused path matches the linen path at the
+    uint8 output level (round/clip parity)."""
+    model = SwinIR.build(scale=2, **SMALL)
+    image = np.random.default_rng(6).integers(0, 256, (20, 28, 3), dtype=np.uint8)
+    want = model.inference(image)
+    model.enable_fused(True)
+    got = model.inference(image)
+    # Rounding can flip on exact .5 boundaries; allow <=1 intensity step on
+    # a tiny fraction of pixels.
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
 def test_fused_swinir_batched_matches_linen():
     """Batched serving: fused kernels over batch > 1."""
     model = SwinIR.build(scale=2, **SMALL)
