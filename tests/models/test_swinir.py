@@ -39,6 +39,23 @@ def test_swinir_parity(size):
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_swinir_full_light_config_parity():
+    """Full-size lightweight config (embed 60, depths [6]x4) — the exact
+    architecture of the published 002_lightweightSR checkpoints."""
+    import torch
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    cfg = dict(depths=[6, 6, 6, 6], embed_dim=60, num_heads=[6, 6, 6, 6], upsampler="pixelshuffledirect")
+    ref = studiosr.models.swinir.SwinIR(scale=4, **cfg)
+    ours = SwinIR.build(scale=4, **cfg)
+    assert_parity(ref, ours, hw=(24, 24), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
 def test_swinir_light_parity():
     import torch
 
