@@ -89,6 +89,11 @@ class Model:
         self.variables = variables
         self.config = dict(config)
         self._training_config = dict(training_config or {})
+        # Quality-correct by default: TPU "f32" matmuls truncate multiplies
+        # to bf16 unless told otherwise (measured 0.03 max output error on
+        # SwinIR vs 4e-6 with "highest"); fast serving paths (half()/
+        # enable_fused) switch this off explicitly.
+        self._matmul_precision = "highest"
         self._jit_forward = jax.jit(self._forward)
 
     # -- config accessors ---------------------------------------------------
@@ -191,6 +196,8 @@ class Model:
         """
         self.variables = jax.tree_util.tree_map(lambda p: p.astype(dtype), self.variables)
         self._compute_dtype = dtype
+        self._matmul_precision = None  # low-precision serving: fastest MXU path
+        self._jit_forward = jax.jit(self._forward)
         return self
 
     def half(self) -> "Model":
