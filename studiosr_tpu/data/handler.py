@@ -125,7 +125,12 @@ class PrefetchLoader:
                 yield future.result()
         finally:
             stop.set()
-            executor.shutdown(wait=False, cancel_futures=True)
+            try:
+                executor.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # Generator may be finalized during interpreter teardown,
+                # after the concurrent.futures module globals are cleared.
+                pass
 
 
 class DataIterator:
