@@ -35,7 +35,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "translate_state_dict", "TranslationReport"]
+__all__ = ["load_torch_state_dict", "translate_state_dict", "export_state_dict", "TranslationReport"]
 
 # Torch keys that have no parameter counterpart in the JAX models: trace-time
 # constants or frozen buffers.
@@ -191,3 +191,38 @@ def translate_state_dict(
     if strict:
         report.raise_if_missing()
     return _unflatten(new_flat), report
+
+
+def _convert_back(leaf_name: str, value: np.ndarray) -> np.ndarray:
+    if leaf_name == "kernel":
+        if value.ndim == 4:
+            return value.transpose(3, 2, 0, 1)
+        if value.ndim == 5:
+            return value.transpose(4, 3, 0, 1, 2)
+        if value.ndim == 2:
+            return value.transpose(1, 0)
+    return value
+
+
+def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse translation: flax variables -> torch-convention state_dict.
+
+    Lets weights trained here flow back to the PyTorch ecosystem (the
+    reference's checkpoint format): HWIO kernels -> OIHW, Dense kernels
+    transposed, flax leaf names -> torch names, batch_stats -> running
+    stats. Trace-time constants (masks, rel-pos indices) are recomputed by
+    the consumer, matching the reference's buffer handling.
+    """
+    reverse_leaf = {"kernel": "weight", "scale": "weight", "embedding": "weight", "alpha": "weight",
+                    "bias": "bias", "mean": "running_mean", "var": "running_var"}
+    state: Dict[str, np.ndarray] = {}
+    for path, value in _flatten(variables).items():
+        collection, *rest = path
+        if collection not in ("params", "batch_stats"):
+            continue
+        prefix = ".".join(rest[:-1])
+        leaf = rest[-1]
+        torch_leaf = reverse_leaf.get(leaf, leaf)
+        key = f"{prefix}.{torch_leaf}" if prefix else torch_leaf
+        state[key] = _convert_back(leaf, np.asarray(value))
+    return state

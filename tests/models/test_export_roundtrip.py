@@ -1,0 +1,39 @@
+import numpy as np
+import pytest
+from tests.reference_loader import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+
+def test_export_state_dict_roundtrip():
+    """JAX -> torch-convention -> JAX weights survive unchanged, and the
+    exported dict loads into the reference torch model."""
+    import torch
+    from tests.reference_loader import load_reference
+    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.zoo import translate_state_dict
+    from studiosr_tpu.zoo.translate import export_state_dict
+
+    cfg = dict(embed_dim=24, depths=[2], num_heads=[2], window_size=8, mlp_ratio=2.0)
+    ours = SwinIR.build(scale=2, **cfg)
+    exported = export_state_dict(ours.variables)
+
+    restored, report = translate_state_dict(exported, ours.variables)
+    assert not report.missing
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(ours.variables), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    studiosr = load_reference()
+    ref = studiosr.models.swinir.SwinIR(scale=2, **cfg)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in exported.items()}, strict=False
+    )
+    # Only trace-time buffers should be missing on the torch side.
+    assert all("relative_position_index" in k or "attn_mask" in k for k in missing), missing
+    assert not unexpected, unexpected
+
+    x = np.random.default_rng(0).standard_normal((1, 16, 16, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = ref.eval()(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(ours(x))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
