@@ -232,7 +232,12 @@ class SwinIR(Model):
             if dtype is not None:
                 x = x.astype(dtype)
             interpret = jax.default_backend() == "cpu"
-            out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
+            precision = getattr(self, "_matmul_precision", None)
+            if precision and dtype is None:  # f32 quality mode through the fused path
+                with jax.default_matmul_precision(precision):
+                    out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
+            else:
+                out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
             return out.astype(jnp.float32)
         return super()._forward(variables, x)
 
