@@ -1,0 +1,167 @@
+"""Differentiable fused MLP block (custom VJP) — fused-training seed.
+
+The inference kernels in swin_block.py are not differentiable (pallas_call
+has no automatic VJP). This module provides the training counterpart for the
+MLP half — ``mlp_block_vjp(x, s, b, w1, b1, w2, b2)`` computes
+``x + fc2(gelu(fc1(LN(x))))`` with a hand-written backward:
+
+* residuals: only the input ``x`` (flash-style; LN/h1/g1 are recomputed in
+  the backward kernel — the same memory/FLOP trade as ``jax.checkpoint``);
+* the backward kernel emits ``dx`` blocks plus per-program *partial* weight
+  gradients; the partials are summed outside in XLA (avoids cross-program
+  accumulation, which would serialize the grid).
+
+Gradients are validated against ``jax.grad`` of the XLA reference in
+tests/ops/test_mlp_vjp.py. This establishes the pattern for the attention
+block's VJP (round-2 roadmap item 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from studiosr_tpu.ops.pallas.swin_block import _erf
+
+__all__ = ["mlp_block_vjp"]
+
+_INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+_INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _ln_stats(x32, eps=1e-5):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x32 - mu) * inv, inv
+
+
+def _reference_forward(x, s, b, w1, b1, w2, b2):
+    """Pure-XLA reference (also used as the forward when not on TPU)."""
+    x32 = x.astype(jnp.float32)
+    xhat, _ = _ln_stats(x32)
+    ln = xhat * s.astype(jnp.float32) + b.astype(jnp.float32)
+    h1 = ln.astype(x.dtype) @ w1 + b1.astype(jnp.float32)
+    g1 = 0.5 * h1 * (1.0 + _erf(h1 * _INV_SQRT2))
+    y = x32 + (g1.astype(x.dtype) @ w2 + b2.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref):
+    x = x_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+    s = s_ref[0].astype(jnp.float32)
+    b = b_ref[0].astype(jnp.float32)
+
+    # Recompute the forward intermediates (flash-style).
+    x32 = x.astype(jnp.float32)
+    xhat, inv = _ln_stats(x32)
+    ln = (xhat * s + b).astype(x.dtype)
+    h1 = jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    phi = jnp.exp(-0.5 * h1 * h1) * _INV_SQRT2PI
+    cdf = 0.5 * (1.0 + _erf(h1 * _INV_SQRT2))
+    g1 = h1 * cdf
+
+    # Backward chain.
+    dg1 = jnp.dot(g.astype(x.dtype), w2_ref[...].T.astype(x.dtype), preferred_element_type=jnp.float32)
+    dh1 = dg1 * (cdf + h1 * phi)
+    dln = jnp.dot(dh1.astype(x.dtype), w1_ref[...].T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+    # LN backward.
+    dxhat = dln * s
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = (dxhat - m1 - xhat * m2) * inv
+
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+    # Per-program partial weight grads (summed outside).
+    dw1_ref[0] = jax.lax.dot_general(
+        ln, dh1.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[0] = jnp.sum(dh1, axis=0, keepdims=True)
+    dw2_ref[0] = jax.lax.dot_general(
+        g1.astype(x.dtype), g.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+    ds_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
+    db_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def mlp_block_vjp(x, s, b, w1, b1, w2, b2):
+    return _reference_forward(x, s, b, w1, b1, w2, b2)
+
+
+def _fwd(x, s, b, w1, b1, w2, b2):
+    return _reference_forward(x, s, b, w1, b1, w2, b2), (x, s, b, w1, b1, w2, b2)
+
+
+def _bwd(residuals, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, s, b, w1, b1, w2, b2 = residuals
+    rows, c = x.shape
+    hidden = w1.shape[1]
+    block_rows = 512
+    pad = (-rows) % block_rows
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    gp = jnp.pad(g, ((0, pad), (0, 0))) if pad else g
+    n_blocks = (rows + pad) // block_rows
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() == "cpu"
+    out_shapes = (
+        jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        jax.ShapeDtypeStruct((n_blocks, c, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, 1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, hidden, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    dx, dw1p, db1p, dw2p, db2p, dsp, dbp = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(1, c),
+            full(1, c),
+            full(c, hidden),
+            full(1, hidden),
+            full(hidden, c),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(xp, gp, s.reshape(1, c), b.reshape(1, c), w1, b1.reshape(1, hidden), w2)
+
+    dx = dx[:rows] if pad else dx
+    return (
+        dx,
+        dsp.sum(axis=0)[0].astype(s.dtype),
+        dbp.sum(axis=0)[0].astype(b.dtype),
+        dw1p.sum(axis=0).astype(w1.dtype),
+        db1p.sum(axis=0)[0].astype(b1.dtype),
+        dw2p.sum(axis=0).astype(w2.dtype),
+        db2p.sum(axis=0)[0].astype(b2.dtype),
+    )
+
+
+mlp_block_vjp.defvjp(_fwd, _bwd)
