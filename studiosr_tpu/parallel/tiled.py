@@ -62,10 +62,16 @@ def tiled_inference(
     stride = tile - 2 * tile_overlap
     assert stride > 0, "tile_overlap too large for tile size"
 
-    # Pad so every tile fits (reflect, like the window models' own padding).
+    # Pad so every tile fits (reflect, like the window models' own padding;
+    # fall back to edge replication when the pad exceeds the dimension —
+    # e.g. a short-wide image with a large tile).
     pad_h = max(0, tile - h)
     pad_w = max(0, tile - w)
-    padded = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect") if (pad_h or pad_w) else image
+    if pad_h or pad_w:
+        mode = "reflect" if (pad_h < h and pad_w < w) else "edge"
+        padded = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode=mode)
+    else:
+        padded = image
     ph, pw = padded.shape[:2]
 
     ys = tile_grid(ph, tile, stride)

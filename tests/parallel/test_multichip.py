@@ -77,6 +77,17 @@ def test_tiled_inference_matches_whole_image_conv():
     np.testing.assert_array_equal(whole, tiled)
 
 
+def test_tiled_inference_short_wide_image():
+    """Tile larger than one image dimension: edge-pad fallback path."""
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = ESPCN.build(scale=2)
+    image = np.random.default_rng(2).integers(0, 256, (10, 90, 3), dtype=np.uint8)
+    out = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=4)
+    assert out.shape == (20, 180, 3)
+
+
 def test_tiled_inference_sharded_over_mesh():
     from studiosr_tpu.models import ESPCN
     from studiosr_tpu.parallel import get_mesh
