@@ -105,6 +105,11 @@ class PrefetchLoader:
                     pos = iteration % self._epoch_len
                     indices = self._epoch_indices(epoch)
                     batch = indices[pos * self.batch_size : (pos + 1) * self.batch_size]
+                    if len(batch) < self.batch_size:
+                        # Dataset shard smaller than one batch: wrap around so
+                        # every emitted batch has the static batch size.
+                        reps = -(-self.batch_size // max(1, len(indices)))
+                        batch = np.tile(indices, reps)[: self.batch_size]
                     try:
                         pending.put(executor.submit(self._make_batch, epoch, pos, batch))
                     except RuntimeError:  # executor shut down by the consumer

@@ -82,6 +82,22 @@ def test_loader_rank_sharding(tmp_path):
     assert (seen[0] | seen[1]).isdisjoint(seen[2] | seen[3])
 
 
+def test_loader_dataset_smaller_than_batch():
+    """Static batch size even when the dataset shard is tiny (wraparound)."""
+
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), np.full((4, 4, 3), i, np.float32)
+
+    loader = PrefetchLoader(Tiny(), batch_size=8, num_workers=1, shuffle=False)
+    lq, gt = next(loader.batches())
+    assert lq.shape == (8, 2, 2, 3) and gt.shape == (8, 4, 4, 3)
+    assert set(lq[:, 0, 0, 0].astype(int).tolist()) == {0, 1, 2}
+
+
 def test_extract_subimages_grid(tmp_path):
     """Sliding-window sub-image extraction incl. edge-snapped final crops."""
     import cv2
