@@ -29,6 +29,17 @@ def _native_crop_augment(lq, gt, size, scale, rng):
 
     if not native.native_available():
         return None
+    # The C++ kernel assumes 3-channel uint8 pairs at an exact scale multiple;
+    # anything else (raw non-sub-image datasets) takes the numpy path, which
+    # draws the same RNG sequence below.
+    if not (
+        lq.dtype == np.uint8
+        and gt.dtype == np.uint8
+        and lq.ndim == 3
+        and lq.shape[2] == 3
+        and gt.shape == (lq.shape[0] * scale, lq.shape[1] * scale, 3)
+    ):
+        return None
     r = rng if rng is not None else random
     h, w = lq.shape[:2]
     xs = r.randint(0, w - size)

@@ -82,13 +82,22 @@ class PrefetchLoader:
             return self.dataset.get(int(idx), rng=sample_rng)
         return self.dataset[int(idx)]
 
+    @staticmethod
+    def _to_float(sample) -> np.ndarray:
+        # Normalize by the SAMPLE dtype (before the float32 cast) so datasets
+        # built with to_tensor=False still train on [0,1] inputs.
+        arr = np.asarray(sample)
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 255.0
+        return arr.astype(np.float32)
+
     def _make_batch(self, epoch: int, batch_idx: int, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         lqs, gts = [], []
         for j, idx in enumerate(indices):
             rng = random.Random(f"{self.seed}:{epoch}:{self.rank}:{batch_idx}:{j}")
             lq, gt = self._load_sample(idx, rng)
-            lqs.append(np.asarray(lq, dtype=np.float32))
-            gts.append(np.asarray(gt, dtype=np.float32))
+            lqs.append(self._to_float(lq))
+            gts.append(self._to_float(gt))
         return np.stack(lqs), np.stack(gts)
 
     def batches(self, start_iteration: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

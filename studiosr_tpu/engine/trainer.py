@@ -143,8 +143,9 @@ class Trainer:
         window_start, window_images = time.perf_counter(), 0
         try:
             while self.data_handler.iterations < self.max_iters:
+                # PrefetchLoader normalizes uint8 samples to [0,1] float32.
                 lq, gt = self.data_handler.get_batch()
-                batch = shard_batch((lq / 255.0 if lq.dtype == np.uint8 else lq, gt / 255.0 if gt.dtype == np.uint8 else gt), self.mesh)
+                batch = shard_batch((lq, gt), self.mesh)
                 iterations = self.data_handler.iterations
                 rng = jax.random.fold_in(base_rng, iterations)
                 self.state, loss = step_fn(self.state, batch[0], batch[1], rng)

@@ -39,10 +39,23 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a host batch with its leading axis sharded over the mesh."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis_name)), batch
-    )
+    """Shard a host batch's leading axis over the mesh.
+
+    Single-process: ``device_put`` with a batch-axis NamedSharding. Multi-host
+    (``jax.process_count() > 1``): each host holds only its local slice of the
+    global batch, so the global array must be assembled from per-process
+    shards via ``jax.make_array_from_process_local_data`` — ``device_put``
+    would misread the local slice as the full global array.
+    """
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        sharding = data_sharding(mesh, np.ndim(x), axis_name)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -85,7 +85,7 @@ def tiled_inference(
     batch = min(tile_batch, int(2 ** math.ceil(math.log2(max(1, n)))))
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-        batch = max(batch, n_dev)  # at least one tile per device
+        batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
     out_tile = tile * scale
     output = np.zeros((ph * scale, pw * scale, c), dtype=np.float32)

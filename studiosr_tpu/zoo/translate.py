@@ -54,16 +54,27 @@ _DEFAULT_DROPPED_PREFIXES = (
 )
 
 
-def load_torch_state_dict(path: str, key: Optional[str] = "auto") -> Dict[str, np.ndarray]:
+def load_torch_state_dict(
+    path: str, key: Optional[str] = "auto", allow_pickle: bool = False
+) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint to numpy, handling the zoo's wrapper keys.
 
     ``key='auto'`` unwraps ``params``/``params_ema`` if present (reference
     ``swinir.py:441-442``, ``hat.py:591``) and strips ``module.`` DataParallel
     prefixes (``imdn.py:172-181``).
+
+    Loads with ``weights_only=True`` (plain state_dicts need no pickled code;
+    downloaded checkpoints should not execute arbitrary payloads). Set
+    ``allow_pickle=True`` to opt into full unpickling for exotic checkpoints.
     """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         if key == "auto":
             for candidate in ("params_ema", "params", "state_dict"):
