@@ -11,10 +11,27 @@ scalar, so neither async dispatch nor the per-call host<->device RPC
 overhead (~24 ms on tunneled chips) contaminates the per-forward time.
 
 Baseline: BASELINE.json targets ">=5x A100 megapixels/sec/chip"; the
-reference publishes no throughput numbers (SURVEY.md §6). We use an
-estimated A100 SwinIR x4 fp32 PyTorch rate of 0.25 MP/s; ``vs_baseline`` =
-value / (5 * 0.25). The estimate is recorded here so the comparison can be
-re-derived when a measured A100 number exists.
+reference publishes no throughput numbers (SURVEY.md §6), so the A100 side
+must be derived. Derivation (recorded so it can be re-checked against a
+measured A100 run when hardware is available):
+
+* SwinIR classical x4 costs 215.3 GFLOPs per 64x64 LR input (published in
+  the HAT paper's model-complexity table, Chen et al., CVPR 2023). Window
+  attention is linear in pixels, so per LR megapixel:
+  215.3e9 * (1e6 / 64^2) = 52.6 TFLOP/MP.
+* The reference's inference path is eager fp32 PyTorch with no autocast
+  (``studiosr/models/common.py:36-48``); A100 fp32 (non-tensor-core) peak is
+  19.5 TFLOP/s, giving a HARD ceiling of 19.5/52.6 = 0.37 MP/s even at 100%
+  utilization. cuDNN may route fp32 convs through TF32 tensor cores
+  (156 TFLOP/s), but the model is attention/LayerNorm/reshape-heavy where
+  eager execution is memory-bound; end-to-end utilization of transformer SR
+  models in eager mode is well under 50% of fp32 peak.
+* Realistic range therefore 0.11-0.22 MP/s (30-60% of the fp32 ceiling);
+  A100_ESTIMATE_MPS = 0.25 sits ABOVE that range (68% of the hard fp32
+  ceiling), i.e. the baseline is deliberately generous to the A100, making
+  ``vs_baseline`` a conservative statement of this chip's advantage.
+
+``vs_baseline`` = value / (5 * 0.25).
 """
 
 from __future__ import annotations

@@ -223,6 +223,37 @@ class Model:
             f.write(lowered.as_text())
         return path
 
+    def export_onnx(self, path: Optional[str] = None, torch_module=None, input_shape: List[int] = [1, 3, 64, 64], opset: int = 17) -> str:
+        """ONNX export via the torch round-trip (reference ``common.py:86-98``).
+
+        Direct JAX->ONNX needs jax2onnx (not bundled), so the supported route
+        is: :func:`studiosr_tpu.zoo.translate.export_state_dict` -> load into
+        the torch-side architecture -> ``torch.onnx.export``. Pass the torch
+        module explicitly, or leave ``torch_module=None`` to build it from an
+        installed ``studiosr`` package (the reference library) using this
+        model's config. Weight fidelity of the round-trip is asserted by
+        tests/models/test_export_roundtrip.py; the ONNX emission itself
+        requires the ``onnx`` package at call time.
+        """
+        import torch
+
+        from studiosr_tpu.zoo.translate import export_state_dict
+
+        if path is None:
+            path = f"{self.__class__.__name__}x{self.scale}.onnx"
+        if torch_module is None:
+            import studiosr  # the reference library provides the torch-side architecture
+
+            torch_cls = getattr(studiosr.models, self.__class__.__name__)
+            torch_module = torch_cls(**self.get_model_config())
+        state = {k: torch.from_numpy(v.copy()) for k, v in export_state_dict(self.variables).items()}
+        torch_module.load_state_dict(state, strict=False)
+        torch_module.eval()
+        # TorchScript-based exporter: the dynamo path needs onnxscript on top
+        # of onnx; the legacy path only needs onnx and handles these models.
+        torch.onnx.export(torch_module, torch.zeros(*input_shape), path, opset_version=opset, dynamo=False)
+        return path
+
     def count_parameters(self) -> int:
         leaves = jax.tree_util.tree_leaves(self.params)
         return int(sum(np.prod(leaf.shape) for leaf in leaves))

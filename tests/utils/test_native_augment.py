@@ -19,12 +19,13 @@ def _numpy_path(lq, gt, size, scale, rng):
     return T.array_to_nhwc(a), T.array_to_nhwc(b)
 
 
+@pytest.mark.parametrize("scale", [2, 3, 4])
 @pytest.mark.parametrize("seed", range(8))
-def test_native_matches_numpy_pipeline(seed):
+def test_native_matches_numpy_pipeline(seed, scale):
     rng_np = np.random.default_rng(seed)
     lq = rng_np.integers(0, 256, (24, 30, 3), dtype=np.uint8)
-    gt = rng_np.integers(0, 256, (48, 60, 3), dtype=np.uint8)
-    size, scale = 12, 2
+    gt = rng_np.integers(0, 256, (24 * scale, 30 * scale, 3), dtype=np.uint8)
+    size = 12
 
     want = _numpy_path(lq, gt, size, scale, random.Random(seed))
 
