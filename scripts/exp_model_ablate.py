@@ -1,0 +1,66 @@
+"""In-context dissection of the full SwinIR serving forward on TPU.
+
+    python scripts/exp_model_ablate.py
+
+Times swinir_fast_forward with parts ablated (timing-only, wrong math) to
+locate where the 64 ms actually goes — micro-chained kernel numbers
+overstate in-context cost because XLA overlaps neighboring work.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+    from studiosr_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
+    reps = 8
+    h = w = 256
+    model = SwinIR.build(scale=4, fast_init=True).half()
+    x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
+    variables = jax.device_put(model.variables)
+
+    variants = [
+        ("full", frozenset()),
+        ("no roll", frozenset({"roll"})),
+        ("no attn", frozenset({"attn"})),
+        ("no mlp", frozenset({"mlp"})),
+        ("no blocks", frozenset({"attn", "mlp"})),
+        ("no rstb conv", frozenset({"conv"})),
+        ("no tail", frozenset({"tail"})),
+        ("blocks+rolls only", frozenset({"conv", "tail"})),
+        ("nothing", frozenset({"attn", "mlp", "roll", "conv", "tail"})),
+    ]
+    for name, ab in variants:
+        def chained(v, inp, ab=ab):
+            def body(carry, _):
+                out = swinir_fast_forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6), model.config, _ablate=ab)
+                return out.astype(jnp.float32).mean(), None
+
+            s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(reps))
+            return s
+
+        f = jax.jit(chained)
+        float(f(variables, x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(variables, x))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:20s}: {best / reps * 1e3:7.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

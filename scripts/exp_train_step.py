@@ -1,0 +1,68 @@
+"""Training-step throughput: fused custom-VJP blocks vs plain autodiff.
+
+    python scripts/exp_train_step.py --fused
+    python scripts/exp_train_step.py            # plain autodiff + remat
+
+Driver config #5 shape: SwinIR x4, batch 32, 64px crops, bf16 autocast.
+Times a Python loop of jitted steps (step >> RPC overhead); fetches the loss
+only at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--crop", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.helpers import enable_compilation_cache
+    from studiosr_tpu.utils.losses import l1_loss
+
+    enable_compilation_cache()
+
+    model = SwinIR.build(scale=4, fast_init=True)
+    module = model.module.clone(fused_train=True) if args.fused else model.module
+    mesh = get_mesh()
+    tx = build_optimizer()
+    state = prepare_state(model.variables, tx, mesh)
+    step_fn = make_train_step(module, tx, l1_loss, bfloat16=True, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    lq = rng.random((args.batch, args.crop, args.crop, 3), np.float32)
+    gt = rng.random((args.batch, args.crop * 4, args.crop * 4, 3), np.float32)
+    lq, gt = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), mesh)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, loss = step_fn(state, lq, gt, key)
+    float(loss)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, i))
+    final = float(loss)
+    dt = (time.perf_counter() - t0) / args.steps
+    tag = "fused" if args.fused else "plain"
+    print(f"{tag}: {dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Generate the offline quality fixture: images + a small trained checkpoint.
+
+Creates ``tests/fixtures/quality/``:
+  * three deterministic structured 128x128 HR images (gradients, edges,
+    textures — enough spatial statistics for SR to beat bicubic) + their
+    bicubic x2 LR counterparts (ops/resize.py, torch-parity bicubic);
+  * a genuinely *trained* ESPCN x2 checkpoint (CPU, a few hundred Adam
+    steps) saved through the registry scheme (best.model.ckpt +
+    params.json) so the pretrained path — checkpoint load, numpy inference
+    contract, PSNR floor — is testable with no network
+    (tests/models/test_quality_fixture.py).
+
+Run once; outputs are committed. Deterministic (fixed seeds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+FIXTURE_DIR = os.path.join("tests", "fixtures", "quality")
+SCALE = 2
+
+
+def make_images(n=3, size=128, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    images = []
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        # smooth background gradient
+        for ch in range(3):
+            a, b, c = rng.uniform(-1, 1, 3)
+            img[..., ch] = 0.5 + 0.3 * (a * xx + b * yy + c * xx * yy)
+        # sinusoidal texture patches (high frequencies: where bicubic fails)
+        for _ in range(8):
+            fx, fy = rng.uniform(4, 28, 2)
+            phase = rng.uniform(0, 6.28)
+            amp = rng.uniform(0.05, 0.15)
+            tex = amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
+            img += tex[..., None] * rng.uniform(0.3, 1.0, 3)
+        # hard-edged shapes (rectangles + circles)
+        for _ in range(18):
+            x0, y0 = rng.integers(0, size - 24, 2)
+            w, h = rng.integers(8, 48, 2)
+            color = rng.uniform(0, 1, 3).astype(np.float32)
+            if rng.random() < 0.5:
+                img[y0 : y0 + h, x0 : x0 + w] = 0.6 * img[y0 : y0 + h, x0 : x0 + w] + 0.4 * color
+            else:
+                cy, cx, r = y0 + h // 2, x0 + w // 2, min(w, h) // 2
+                m = (yy * size - cy) ** 2 + (xx * size - cx) ** 2 <= r * r
+                img[m] = 0.5 * img[m] + 0.5 * color
+        # mild filtered noise
+        noise = rng.standard_normal((size // 4, size // 4, 3)).astype(np.float32)
+        noise = np.repeat(np.repeat(noise, 4, 0), 4, 1) * 0.02
+        img = np.clip(img + noise, 0, 1)
+        images.append((img * 255.0).round().astype(np.uint8))
+    return images
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import serialization
+
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.ops.resize import bicubic_resize
+    from studiosr_tpu.utils.helpers import imwrite
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    os.makedirs(os.path.join(FIXTURE_DIR, "ckpt"), exist_ok=True)
+    hrs = make_images()
+    lrs = []
+    for i, hr in enumerate(hrs):
+        lr = np.asarray(bicubic_resize(jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // SCALE, hr.shape[1] // SCALE))[0]
+        lr = np.clip(np.round(lr * 255.0), 0, 255).astype(np.uint8)
+        lrs.append(lr)
+        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_hr.png"), hr)
+        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_lr.png"), lr)
+
+    model = ESPCN.build(scale=SCALE, channels=64)
+    tx = optax.adam(optax.cosine_decay_schedule(2e-3, 2000))
+    params = model.variables["params"]
+    opt_state = tx.init(params)
+    module = model.module
+
+    def loss_fn(p, lq, gt):
+        out = module.apply({"params": p}, lq, train=True)
+        return jnp.mean(jnp.abs(out - gt))
+
+    @jax.jit
+    def step(p, o, lq, gt):
+        l, g = jax.value_and_grad(loss_fn)(p, lq, gt)
+        up, o = tx.update(g, o)
+        return optax.apply_updates(p, up), o, l
+
+    rng = np.random.default_rng(0)
+    crop = 24
+    for it in range(2000):
+        lq_b, gt_b = [], []
+        for _ in range(16):
+            i = rng.integers(len(hrs))
+            y = rng.integers(0, lrs[i].shape[0] - crop)
+            x = rng.integers(0, lrs[i].shape[1] - crop)
+            lq_c = lrs[i][y : y + crop, x : x + crop].astype(np.float32) / 255.0
+            gt_c = hrs[i][y * SCALE : (y + crop) * SCALE, x * SCALE : (x + crop) * SCALE].astype(np.float32) / 255.0
+            # paired flip/rot90 augmentation (the reference recipe) — also
+            # makes the model ~equivariant so self-ensemble TTA helps.
+            if rng.random() < 0.5:
+                lq_c, gt_c = lq_c[:, ::-1], gt_c[:, ::-1]
+            if rng.random() < 0.5:
+                lq_c, gt_c = lq_c[::-1], gt_c[::-1]
+            k = int(rng.integers(4))
+            lq_c, gt_c = np.rot90(lq_c, k), np.rot90(gt_c, k)
+            lq_b.append(np.ascontiguousarray(lq_c))
+            gt_b.append(np.ascontiguousarray(gt_c))
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
+        if it % 250 == 0:
+            print(f"iter {it}: loss {float(loss):.5f}")
+
+    model.variables = {"params": jax.device_get(params)}
+    with open(os.path.join(FIXTURE_DIR, "ckpt", "best.model.ckpt"), "wb") as f:
+        f.write(serialization.to_bytes(model.variables))
+    with open(os.path.join(FIXTURE_DIR, "ckpt", "params.json"), "w") as f:
+        json.dump(model.config, f)
+
+    for i, (hr, lr) in enumerate(zip(hrs, lrs)):
+        sr = model.inference(lr)
+        up = np.asarray(bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1]))[0]
+        up = np.clip(np.round(up * 255.0), 0, 255).astype(np.uint8)
+        print(
+            f"img{i}: ESPCN psnr {compute_psnr(sr, hr):.2f} dB  "
+            f"bicubic psnr {compute_psnr(up, hr):.2f} dB"
+        )
+
+
+if __name__ == "__main__":
+    main()

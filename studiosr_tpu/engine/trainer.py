@@ -71,6 +71,7 @@ class Trainer:
         log_interval: int = 100,
         profile_dir: Optional[str] = None,
         debug_nans: bool = False,
+        fused_train: Optional[bool] = None,
     ) -> None:
         self.model = model
         self.dataset = train_dataset
@@ -94,6 +95,14 @@ class Trainer:
         self.profile_dir = profile_dir
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
+
+        # Fused-training kernels (custom-VJP Pallas blocks): opt in for
+        # modules that support the flag; default = on for those on TPU.
+        self.fused_train = False
+        if hasattr(type(model.module), "fused_train") and not getattr(model.module, "fused_train"):
+            if fused_train is None:
+                fused_train = jax.default_backend() != "cpu" and not getattr(model.module, "drop_rate", 0.0)
+            self.fused_train = bool(fused_train)
 
         self.criterion = get_loss(loss_function)
         self.best_psnr = 0.0
@@ -131,8 +140,11 @@ class Trainer:
         if self.load("latest"):
             print(f"-> The latest checkpoint was loaded. [best_psnr = {self.best_psnr:6.3f}]")
 
+        train_module = self.model.module
+        if self.fused_train:
+            train_module = train_module.clone(fused_train=True)
         step_fn = make_train_step(
-            self.model.module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh
+            train_module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh
         )
         logger = Logger(os.path.join(self.ckpt_path, "train.log")) if self.data_handler.is_main_process else None
 

@@ -74,9 +74,70 @@ class WindowAttention(nn.Module):
         return nn.Dense(c, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declare a Dense layer's parameters (same names/inits as ``nn.Dense``)
+    without applying it — the fused custom-VJP ops consume raw arrays."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """Parameter tree of :class:`WindowAttention` (same paths/inits)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        return table, wqkv, bqkv, wproj, bproj
+
+
+class _MlpParams(nn.Module):
+    in_features: int
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_features, self.hidden_features, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_features, self.in_features, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class SwinTransformerBlock(nn.Module):
     """LN -> (shifted) window attention -> LN -> MLP, both residual
-    (``swinir.py:108-174``). Operates on (B, H, W, C)."""
+    (``swinir.py:108-174``). Operates on (B, H, W, C).
+
+    ``fused_train=True`` switches to the custom-VJP fused blocks
+    (ops/attn_vjp.py, ops/pallas/mlp_vjp.py): same parameter tree, Pallas
+    forward on TPU, hand-written flash-style backward. Requires drop==0
+    (the reference training recipes use no dropout); drop-path is applied
+    post-hoc on the residual delta, which is exact because both halves are
+    residual."""
 
     dim: int
     num_heads: int
@@ -85,11 +146,35 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop: float = 0.0
     drop_path: float = 0.0
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
+
+        if self.fused_train:
+            if self.drop:
+                raise NotImplementedError("fused_train requires drop==0")
+            from studiosr_tpu.ops.attn_vjp import attention_map_vjp
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+
+            s1, b1 = _LayerNormParams(c, name="norm1")()
+            table, wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, ws, self.num_heads, name="attn")()
+            rpi = relative_position_index(ws)
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, self.num_heads)
+            bias = bias.transpose(2, 0, 1)
+            mask = jnp.asarray(calculate_mask((h, w), ws, ss)) if ss > 0 else None
+            y = attention_map_vjp(
+                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, ss, self.num_heads, ws
+            )
+            x = x + DropPath(self.drop_path)(y - x, deterministic=not train)
+
+            s2, b2 = _LayerNormParams(c, name="norm2")()
+            w1, bb1, w2, bb2 = _MlpParams(c, int(self.dim * self.mlp_ratio), name="mlp")()
+            flat = x.reshape(b * h * w, c)
+            y = mlp_block_vjp(flat, s2, b2, w1, bb1, w2, bb2).reshape(b, h, w, c)
+            return x + DropPath(self.drop_path)(y - x, deterministic=not train)
 
         shortcut = x
         x = LayerNorm(name="norm1")(x)
@@ -125,6 +210,7 @@ class RSTB(nn.Module):
     drop: float = 0.0
     drop_path: Sequence[float] = ()
     resi_connection: Optional[Callable[..., nn.Module]] = None
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -138,6 +224,7 @@ class RSTB(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 drop=self.drop,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                fused_train=self.fused_train,
                 name=f"residual_group.blocks.{i}",
             )(res, train=train)
         if self.resi_connection is not None:
@@ -161,6 +248,11 @@ class SwinIRModule(nn.Module):
     upsampler: str = "pixelshuffle"
     resi_connection: Optional[Callable[..., nn.Module]] = None
     conv_after_body: Optional[Callable[..., nn.Module]] = None
+    # Route transformer blocks through the fused custom-VJP kernels when
+    # training (ops/attn_vjp.py, ops/pallas/mlp_vjp.py). The custom VJPs
+    # rematerialize internally (residual = block input only), so the outer
+    # per-RSTB remat is skipped.
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -180,8 +272,10 @@ class SwinIRModule(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         # Rematerialize each RSTB in the backward pass: the per-block f32
         # attention maps would otherwise dominate HBM as saved residuals
-        # (36 x ~100s of MB at training shapes). Free at inference.
-        rstb_cls = nn.remat(RSTB, static_argnums=(2,))
+        # (36 x ~100s of MB at training shapes). Free at inference. With
+        # fused_train the custom VJPs recompute internally, so the outer
+        # remat would only double the recompute.
+        rstb_cls = RSTB if self.fused_train else nn.remat(RSTB, static_argnums=(2,))
         for i, depth in enumerate(self.depths):
             start = sum(self.depths[:i])
             feats = rstb_cls(
@@ -193,6 +287,7 @@ class SwinIRModule(nn.Module):
                 drop=self.drop_rate,
                 drop_path=tuple(dpr[start : start + depth]),
                 resi_connection=self.resi_connection,
+                fused_train=self.fused_train,
                 name=f"layers.{i}",
             )(feats, train)
         feats = LayerNorm(name="norm")(feats)

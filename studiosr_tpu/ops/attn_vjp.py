@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["attention_block_vjp"]
+__all__ = ["attention_block_vjp", "attention_map_vjp"]
 
 
 def _ln_stats(x32, eps=1e-5):
@@ -59,7 +59,10 @@ def _forward_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads):
     v = _split_heads(qkv[..., 2 * c :], heads, d)
     scores = jnp.einsum("whnd,whmd->whnm", q, k).astype(jnp.float32) + bias[None].astype(jnp.float32)
     if mask is not None:
-        scores = scores + mask[:, None].astype(jnp.float32)
+        # windows are (B*nW_mask); the shift mask repeats across the batch.
+        rep = x.shape[0] // mask.shape[0]
+        m = jnp.tile(mask, (rep, 1, 1)) if rep > 1 else mask
+        scores = scores + m[:, None].astype(jnp.float32)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -80,12 +83,18 @@ def _fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads):
     return out, (x, s, b, wqkv, bqkv, wproj, bproj, bias, mask)
 
 
-def _bwd(heads, residuals, g):
-    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask = residuals
+def _window_bwd_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads, g):
+    """Backward of ``x + proj(window_attn(LN(x)))`` on (nW, N, C) windows,
+    recomputing the forward intermediates flash-style. Returns grads for
+    (x, s, b, wqkv, bqkv, wproj, bproj, bias)."""
     nw, n, c = x.shape
     d = c // heads
     scale = float(d) ** -0.5
+    dt = x.dtype  # matmuls run in the compute dtype (bf16 under autocast),
+    # accumulating f32 — the same precision plain autodiff of a bf16 forward
+    # would use; reductions/softmax-backward stay f32.
     g32 = g.astype(jnp.float32)
+    g_ = g.astype(dt)
 
     # Recompute forward intermediates (flash-style rematerialization).
     _, (xhat, inv, ln, q, k, v, probs, attn) = _forward_math(
@@ -93,28 +102,33 @@ def _bwd(heads, residuals, g):
     )
 
     # proj backward.
-    dwproj = jnp.einsum("wnc,wnk->ck", attn.astype(jnp.float32), g32)
+    dwproj = jnp.einsum("wnc,wnk->ck", attn.astype(dt), g_, preferred_element_type=jnp.float32)
     dbproj = jnp.sum(g32, axis=(0, 1))
-    dattn = (g.astype(x.dtype) @ wproj.T.astype(x.dtype)).astype(jnp.float32)  # (nw, n, C)
+    dattn = jnp.einsum("wnk,ck->wnc", g_, wproj.astype(dt), preferred_element_type=jnp.float32).astype(dt)
     dav = _split_heads(dattn, heads, d)  # (nw, heads, n, d)
 
     # attention backward.
     p32 = probs.astype(jnp.float32)
-    dv = jnp.einsum("whnm,whnd->whmd", p32, dav)
-    dprobs = jnp.einsum("whnd,whmd->whnm", dav, v.astype(jnp.float32))
+    dv = jnp.einsum("whnm,whnd->whmd", probs.astype(dt), dav, preferred_element_type=jnp.float32)
+    dprobs = jnp.einsum("whnd,whmd->whnm", dav, v.astype(dt), preferred_element_type=jnp.float32)
     dscores = p32 * (dprobs - jnp.sum(dprobs * p32, axis=-1, keepdims=True))
     dbias = jnp.sum(dscores, axis=0)  # (heads, n, n); mask gets no grad
+    dscores_ = dscores.astype(dt)
     # q in the recompute is pre-scaled: d(q_raw) picks up the scale; dk uses
     # the scaled q directly.
-    dq = jnp.einsum("whnm,whmd->whnd", dscores, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("whnm,whnd->whmd", dscores, q.astype(jnp.float32))
+    dq = jnp.einsum("whnm,whmd->whnd", dscores_, k.astype(dt), preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("whnm,whnd->whmd", dscores_, q.astype(dt), preferred_element_type=jnp.float32)
 
-    dqkv = jnp.concatenate([_merge_heads(dq), _merge_heads(dk), _merge_heads(dv)], axis=-1)  # (nw, n, 3C)
+    dqkv = jnp.concatenate(
+        [_merge_heads(dq.astype(dt)), _merge_heads(dk.astype(dt)), _merge_heads(dv.astype(dt))], axis=-1
+    )  # (nw, n, 3C)
 
     # qkv projection backward.
-    dwqkv = jnp.einsum("wnc,wnk->ck", ln.reshape(nw, n, c).astype(jnp.float32), dqkv)
-    dbqkv = jnp.sum(dqkv, axis=(0, 1))
-    dln = (dqkv.astype(x.dtype) @ wqkv.T.astype(x.dtype)).astype(jnp.float32)
+    dwqkv = jnp.einsum(
+        "wnc,wnk->ck", ln.reshape(nw, n, c).astype(dt), dqkv, preferred_element_type=jnp.float32
+    )
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dln = jnp.einsum("wnk,ck->wnc", dqkv, wqkv.astype(dt), preferred_element_type=jnp.float32)
 
     # LayerNorm backward.
     ds = jnp.sum(dln * xhat, axis=(0, 1))
@@ -133,8 +147,76 @@ def _bwd(heads, residuals, g):
         dwproj.astype(wproj.dtype),
         dbproj.astype(bproj.dtype),
         dbias.astype(bias.dtype),
-        None if mask is None else jnp.zeros_like(mask),
     )
 
 
+def _bwd(heads, residuals, g):
+    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask = residuals
+    grads = _window_bwd_math(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads, g)
+    return grads + (None if mask is None else jnp.zeros_like(mask),)
+
+
 attention_block_vjp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Map-level block: roll + window partition folded in, Pallas-fused forward.
+# ---------------------------------------------------------------------------
+
+
+def _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws):
+    from studiosr_tpu.ops.windows import window_partition, window_reverse
+
+    _, hgt, wdt, c = x.shape
+    z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    windows = window_partition(z, ws).reshape(-1, ws * ws, c)
+    out, _ = _forward_math(windows, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads)
+    z = window_reverse(out.reshape(-1, ws, ws, c), ws, hgt, wdt)
+    return jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def attention_map_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws):
+    """``x + proj(window_attn(LN(roll(x))))`` rolled back, on (B, H, W, C)
+    maps. The primal runs the fused Pallas serving kernel on TPU (identical
+    math, VMEM-resident — ops/pallas/swin_block.py); the backward is the
+    validated XLA window math with flash-style recompute. ``mask`` gets a
+    zero gradient; roll/partition are permutations so their transpose is the
+    inverse roll/partition of the incoming cotangent."""
+    return _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
+
+
+def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws):
+    if jax.default_backend() == "cpu":
+        out = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
+    else:
+        from studiosr_tpu.ops.pallas.swin_block import fused_window_attention_block
+
+        z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        z = fused_window_attention_block(
+            z, s, b, wqkv.astype(z.dtype), bqkv, wproj.astype(z.dtype), bproj, bias, mask,
+            heads=heads, window_size=ws,
+        )
+        out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+    return out, (x, s, b, wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def _map_bwd(shift, heads, ws, residuals, g):
+    from studiosr_tpu.ops.windows import window_partition, window_reverse
+
+    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask = residuals
+    _, hgt, wdt, c = x.shape
+    z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    gz = jnp.roll(g, (-shift, -shift), axis=(1, 2)) if shift else g
+    zw = window_partition(z, ws).reshape(-1, ws * ws, c)
+    gw = window_partition(gz, ws).reshape(-1, ws * ws, c)
+    dzw, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias = _window_bwd_math(
+        zw, s, b, wqkv, bqkv, wproj, bproj, bias, mask, heads, gw
+    )
+    dz = window_reverse(dzw.reshape(-1, ws, ws, c), ws, hgt, wdt)
+    dx = jnp.roll(dz, (shift, shift), axis=(1, 2)) if shift else dz
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dx, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask)
+
+
+attention_map_vjp.defvjp(_map_fwd, _map_bwd)

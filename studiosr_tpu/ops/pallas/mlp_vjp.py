@@ -98,7 +98,14 @@ def mlp_block_vjp(x, s, b, w1, b1, w2, b2):
 
 
 def _fwd(x, s, b, w1, b1, w2, b2):
-    return _reference_forward(x, s, b, w1, b1, w2, b2), (x, s, b, w1, b1, w2, b2)
+    if jax.default_backend() == "cpu":
+        out = _reference_forward(x, s, b, w1, b1, w2, b2)
+    else:
+        # Identical math, single VMEM-resident pass (ops/pallas/swin_block.py).
+        from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block
+
+        out = fused_mlp_block(x, s, b, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2)
+    return out, (x, s, b, w1, b1, w2, b2)
 
 
 def _bwd(residuals, g):

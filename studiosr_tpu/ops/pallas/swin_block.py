@@ -31,11 +31,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_window_attention_block", "fused_mlp_block"]
+__all__ = ["fused_window_attention_block", "fused_mlp_block", "fused_swin_block"]
 
 # Tunables for the per-program working set (see fused_window_attention_block).
 MAX_CHUNK_WINDOWS = 16
 SCORE_VMEM_BUDGET = 1_300_000  # bytes of f32 scores per head (ws16 -> 4 windows)
+# Pair kernel: f32 scores + bf16 probs for ALL heads live at once.
+PAIR_SCORE_VMEM_BUDGET = 5_000_000
+# LayerNorm stats through MXU matvecs instead of VPU lane reductions.
+# Measured SLOWER on v5e (pairs kernel 1.35 vs 1.12 ms/block; MLP 1.10 vs
+# 0.81): the f32 HIGHEST matvec + broadcasts cost more than the VPU
+# reduction tree. Kept as a documented experiment.
+LN_VIA_MXU = False
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +61,32 @@ def _layernorm(x32: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _layernorm_mxu(x32: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with the lane reductions routed through the MXU.
+
+    A VPU lane-axis reduction is a log2(lanes) shuffle+add tree over the full
+    block (~8 steps x 2 reductions ~ several microseconds per program —
+    measured as the dominant kernel cost, see STATUS.md round-2 dissection);
+    a (rows, C) x (C, 1) matvec does the same sum in one MXU pass.
+    E[x^2] - mu^2 replaces the two-pass variance. HIGHEST precision keeps the
+    stats true-f32 (TPU dots otherwise truncate f32 multiplies to bf16)."""
+    c = x32.shape[-1]
+    lead = x32.shape[:-1]
+    x2d = x32.reshape(-1, c)
+    ones = jnp.full((c, 1), 1.0, jnp.float32)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mu = dot(x2d, ones) * (1.0 / c)  # (rows, 1)
+    m2 = dot(x2d * x2d, ones) * (1.0 / c)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    out = (x2d - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.reshape(*lead, c)
 
 
 def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
@@ -81,6 +114,157 @@ def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
     return wqkv_pad, bqkv_pad, wproj_pad
 
 
+def _ln(x32, scale, bias):
+    return (_layernorm_mxu if LN_VIA_MXU else _layernorm)(x32, scale, bias)
+
+
+def _attn_block_kernel_pairs(
+    x_ref,  # (1, ws, cw, C)
+    ln_scale_ref,  # (1, C)
+    ln_bias_ref,  # (1, C)
+    wqkv_ref,  # (C, 3*heads*dp) head-padded, q pre-scaled
+    bqkv_ref,  # (1, 3*heads*dp)
+    wproj_ref,  # (heads*dp, C)
+    bproj_ref,  # (1, C)
+    bias2_ref,  # (heads, 2N, 2N) pair-embedded bias (off-diagonal -1e30)
+    mask_ref,  # (nw, N, N) or None
+    out_ref,  # (1, ws, cw, C)
+    *,
+    heads: int,
+    window_size: int,
+    dp: int,
+):
+    """Window-pair variant: adjacent windows share one 2N-row score block and
+    heads ride the dot batch dim, so the whole chunk's attention is TWO
+    MXU-shaped batched dots — (heads*pairs, 2N, dp) x (heads*pairs, 2N, dp)^T
+    and probs x V — instead of ``heads`` shallow (nw, N, dp) dots. Cross-window
+    score entries are killed by the -1e30 off-diagonal folded into ``bias2``
+    (exp underflows to exactly 0). 2N = 128 for ws=8: one full MXU tile per
+    batch element. Measured vs the per-head kernel in STATUS.md."""
+    mask = None if mask_ref is None else mask_ref[...]
+    y = _pairs_attn_stripe(
+        x_ref[0], ln_scale_ref[0], ln_bias_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
+        bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
+    )
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pairs_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias2, mask, *, heads, window_size, dp):
+    """Core of the pair kernel on stripe VALUES: (ws, cw, C) -> f32 (ws, cw, C)."""
+    ws = window_size
+    _, w, c = x.shape
+    nw = w // ws
+    n = ws * ws
+    n2 = 2 * n
+    pairs = nw // 2
+    hp = heads * pairs
+    s = heads * dp
+
+    ln = _ln(x.astype(jnp.float32), ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+
+    ln_windows = ln.astype(x.dtype).reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(nw * n, c)
+    qkv = (
+        jnp.dot(ln_windows, wqkv, preferred_element_type=jnp.float32) + bqkv.astype(jnp.float32)
+    ).astype(x.dtype)  # (nw*N, 3*s)
+
+    def stack_heads(offset):
+        # (nw*N, s) lane-sliced per head -> (heads*pairs, 2N, dp), batch-major head.
+        return jnp.concatenate(
+            [qkv[:, offset + h * dp : offset + (h + 1) * dp].reshape(pairs, n2, dp) for h in range(heads)],
+            axis=0,
+        )
+
+    q = stack_heads(0)
+    k = stack_heads(s)
+    v = stack_heads(2 * s)
+
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (heads*pairs, 2N, 2N)
+    scores = scores.reshape(heads, pairs, n2, n2) + bias2.astype(jnp.float32)[:, None]
+    if mask is not None:
+        # Diag-embed (nw, N, N) -> (pairs, 2N, 2N): rows of even windows keep
+        # their mask in the left lane half, odd windows in the right half.
+        mask_flat = mask.astype(jnp.float32).reshape(nw * n, n)
+        zeros = jnp.zeros_like(mask_flat)
+        left = jnp.concatenate([mask_flat, zeros], axis=1)  # (nw*N, 2N)
+        right = jnp.concatenate([zeros, mask_flat], axis=1)
+        row_par = (jax.lax.broadcasted_iota(jnp.int32, (nw * n, 1), 0) // n) % 2
+        mask2 = jnp.where(row_par == 0, left, right).reshape(pairs, n2, n2)
+        scores = scores + mask2[None]
+    scores = scores.reshape(hp, n2, n2)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    av = jax.lax.dot_general(
+        probs.astype(x.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (heads*pairs, 2N, dp)
+    av = (av / denom).astype(x.dtype)
+
+    attn = jnp.concatenate(
+        [av[h * pairs : (h + 1) * pairs].reshape(nw * n, dp) for h in range(heads)], axis=1
+    )  # (nw*N, heads*dp)
+    attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
+    proj = (
+        jnp.dot(attn, wproj, preferred_element_type=jnp.float32)
+        + bproj.astype(jnp.float32)
+    )
+    return x.astype(jnp.float32) + proj.reshape(ws, w, c)
+
+
+def _mlp_rows(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """MLP half on row VALUES: (rows, C) -> f32 (rows, C)."""
+    x32 = x.astype(jnp.float32)
+    ln = _ln(x32, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
+    h = jnp.dot(ln.astype(x.dtype), w1, preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
+    y = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+    return x32 + y
+
+
+def _swin_block_kernel_pairs(
+    x_ref,  # (1, ws, cw, C)
+    s1_ref, b1_ref,  # norm1 (1, C)
+    wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,  # attention weights (head-padded)
+    bias2_ref,  # (heads, 2N, 2N)
+    s2_ref, b2_ref,  # norm2 (1, C)
+    w1_ref, fb1_ref, w2_ref, fb2_ref,  # MLP weights
+    mask_ref,  # (nw, N, N) or None
+    out_ref,  # (1, ws, cw, C)
+    *,
+    heads: int,
+    window_size: int,
+    dp: int,
+):
+    """Whole Swin block (attention half + MLP half) in ONE pass over the
+    stripe: the serving path is HBM-bandwidth-bound (~83 GB/s effective,
+    STATUS.md round-2 findings), so halving the per-block map traffic
+    (2 kernel read+writes -> 1) is worth more than any compute win."""
+    ws = window_size
+    _, _, w, c = x_ref.shape
+    mask = None if mask_ref is None else mask_ref[...]
+    y1 = _pairs_attn_stripe(
+        x_ref[0], s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
+        bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
+    ).astype(x_ref.dtype)
+    y2 = _mlp_rows(
+        y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
+    )
+    out_ref[0] = y2.reshape(ws, w, c).astype(out_ref.dtype)
+
+
+def _pair_embed_bias(bias: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(heads, N, N) -> (heads, 2N, 2N) with bias on both diagonal blocks and
+    -1e30 off-diagonal (kills cross-window attention through the softmax)."""
+    heads = bias.shape[0]
+    neg = jnp.full((heads, n, n), -1e30, jnp.float32)
+    b32 = bias.astype(jnp.float32)
+    top = jnp.concatenate([b32, neg], axis=2)
+    bot = jnp.concatenate([neg, b32], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
 def _attn_block_kernel(
     x_ref,  # (1, ws, W, C)
     ln_scale_ref,  # (1, C)
@@ -104,7 +288,7 @@ def _attn_block_kernel(
     s = heads * dp
 
     x = x_ref[0]  # (ws, W, C)
-    ln = _layernorm(x.astype(jnp.float32), ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
+    ln = _ln(x.astype(jnp.float32), ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
 
     # Stripe -> windows BEFORE the qkv projection: the relayouted tensor is C
     # wide instead of 3C (the matmul output needs no transpose).
@@ -168,13 +352,30 @@ def fused_window_attention_block(
     n = ws * ws
     nw_row = w // ws
 
-    # Chunk each window-row stripe: largest divisor of the windows-per-row
-    # count whose f32 score block stays within the VMEM score budget.
-    max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
-    chunk = 1
-    for cand in range(1, nw_row + 1):
-        if nw_row % cand == 0 and cand <= max_chunk:
-            chunk = cand
+    # Window-pair kernel (see _attn_block_kernel_pairs) needs an even number
+    # of windows per chunk; pick the largest even divisor of the row count
+    # within its VMEM budget, falling back to the per-head kernel otherwise.
+    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
+    pair_chunk = 0
+    # Pairing pays when 2N fills one MXU tile (ws=8 -> 128 rows); at ws>=12
+    # a single window already spans >=2 tiles and pairing only doubles the
+    # cross-window score waste and VMEM pressure.
+    if 2 * n <= 128:
+        for cand in range(2, nw_row + 1, 2):
+            if nw_row % cand == 0 and cand <= min(pair_max, MAX_CHUNK_WINDOWS):
+                pair_chunk = cand
+    use_pairs = pair_chunk > 0
+
+    if use_pairs:
+        chunk = pair_chunk
+    else:
+        # Largest divisor of the windows-per-row count whose f32 score block
+        # stays within the per-head kernel's VMEM score budget.
+        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
+        chunk = 1
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand <= max_chunk:
+                chunk = cand
     cw = chunk * ws  # chunk width in pixels
     grid = (b, hgt // ws, nw_row // chunk)
 
@@ -183,10 +384,13 @@ def fused_window_attention_block(
     s = heads * dp
     wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
 
-    kernel = functools.partial(_attn_block_kernel, heads=heads, window_size=ws, dp=dp)
+    base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel
+    if use_pairs:
+        bias = _pair_embed_bias(bias, n)
+    kernel = functools.partial(base_kernel, heads=heads, window_size=ws, dp=dp)
     if mask is None:
         def kernel_nomask(x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, out_ref):
-            _attn_block_kernel(
+            base_kernel(
                 x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
                 heads=heads, window_size=ws, dp=dp,
             )
@@ -201,7 +405,7 @@ def fused_window_attention_block(
         full(1, 3 * s),
         full(s, c),
         full(1, c),
-        full(bias.shape[0], n, n),
+        full(*bias.shape),  # (heads, N, N) or pair-embedded (heads, 2N, 2N)
     ]
     operands = [x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_pad, bqkv_pad.reshape(1, -1),
                 wproj_pad, bproj.reshape(1, c), bias]
@@ -227,10 +431,99 @@ def fused_window_attention_block(
     )(*operands)
 
 
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "interpret"))
+def fused_swin_block(
+    x: jnp.ndarray,  # (B, H, W, C), already cyclically shifted if needed
+    ln1_scale, ln1_bias,
+    wqkv, bqkv, wproj, bproj,
+    bias,  # (heads, N, N)
+    mask,  # (nW, N, N) or None
+    ln2_scale, ln2_bias,
+    w1, b1, w2, b2,
+    heads: int,
+    window_size: int,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
+    HBM pass (the map is read and written once instead of twice). Returns
+    ``None`` when the window-pair layout does not apply (odd windows-per-row
+    or ws > 8); callers fall back to the two-kernel path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hgt, w, c = x.shape
+    ws = window_size
+    n = ws * ws
+    nw_row = w // ws
+
+    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
+    chunk = 0
+    if 2 * n <= 128:
+        for cand in range(2, nw_row + 1, 2):
+            if nw_row % cand == 0 and cand <= min(pair_max, MAX_CHUNK_WINDOWS):
+                chunk = cand
+    if chunk == 0 or hgt % ws:
+        return None
+    cw = chunk * ws
+    grid = (b, hgt // ws, nw_row // chunk)
+
+    d = c // heads
+    dp = ((d + 31) // 32) * 32
+    s = heads * dp
+    hidden = w1.shape[1]
+    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
+    bias2 = _pair_embed_bias(bias, n)
+
+    kernel = functools.partial(_swin_block_kernel_pairs, heads=heads, window_size=ws, dp=dp)
+    if mask is None:
+        def kernel_nomask(x_ref, s1, b1_, wq, bq, wp, bp, bias_ref, s2, b2_, w1_, fb1, w2_, fb2, out_ref):
+            _swin_block_kernel_pairs(
+                x_ref, s1, b1_, wq, bq, wp, bp, bias_ref, s2, b2_, w1_, fb1, w2_, fb2, None, out_ref,
+                heads=heads, window_size=ws, dp=dp,
+            )
+        kernel = kernel_nomask
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        full(1, c), full(1, c),
+        full(c, 3 * s), full(1, 3 * s), full(s, c), full(1, c),
+        full(heads, 2 * n, 2 * n),
+        full(1, c), full(1, c),
+        full(c, hidden), full(1, hidden), full(hidden, c), full(1, c),
+    ]
+    operands = [
+        x, ln1_scale.reshape(1, c), ln1_bias.reshape(1, c),
+        wqkv_pad, bqkv_pad.reshape(1, -1), wproj_pad, bproj.reshape(1, c),
+        bias2,
+        ln2_scale.reshape(1, c), ln2_bias.reshape(1, c),
+        w1, b1.reshape(1, hidden), w2, b2.reshape(1, c),
+    ]
+    n_chunks = nw_row // chunk
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(mask)
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*operands)
+
+
 def _mlp_kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
-    ln = _layernorm(x32, ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
+    ln = _ln(x32, ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
     h = jnp.dot(ln.astype(x.dtype), w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
     h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
     y = jnp.dot(h.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)

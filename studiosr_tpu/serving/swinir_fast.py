@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
-from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block
+from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_swin_block, fused_window_attention_block
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
 from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relative_position_index
 
@@ -126,8 +126,13 @@ def swinir_fast_forward(
     interpret: bool = False,
     use_fused_attn: bool = True,
     use_fused_mlp: bool = True,
+    _ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
-    """Eval-mode SwinIR forward (flip-concat padding) from raw variables."""
+    """Eval-mode SwinIR forward (flip-concat padding) from raw variables.
+
+    ``_ablate`` is a perf-dissection hook (scripts/exp_model_ablate.py):
+    subsets of {"roll", "attn", "mlp", "conv", "tail"} skip that part of the
+    computation (numerically wrong, timing only)."""
     params = variables["params"]
     scale = int(config["scale"])
     depths = list(config["depths"])
@@ -163,9 +168,32 @@ def swinir_fast_forward(
             bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
 
             y = res
-            if shift:
+            if shift and "roll" not in _ablate:
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            if use_fused_attn == "packed":
+            if "attn" in _ablate and "mlp" in _ablate:
+                continue
+            if use_fused_attn is True and use_fused_mlp and not _ablate & {"attn", "mlp"}:
+                # Whole-block single-pass kernel (attn + MLP in one HBM
+                # round-trip — the serving path is bandwidth-bound).
+                whole = fused_swin_block(
+                    y,
+                    blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
+                    blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
+                    bias, mask if shift else None,
+                    blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
+                    blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
+                    heads=heads, window_size=ws, interpret=interpret,
+                )
+                if whole is not None:
+                    if shift and "roll" not in _ablate:
+                        whole = jnp.roll(whole, (shift, shift), axis=(1, 2))
+                    res = whole
+                    continue
+            if "attn" in _ablate:
+                pass
+            elif use_fused_attn == "packed":
                 y = _packed_attention_block(y, blk, bias, mask if shift else None, heads, ws, interpret=interpret)
             elif use_fused_attn:
                 y = fused_window_attention_block(
@@ -184,10 +212,12 @@ def swinir_fast_forward(
                 )
             else:
                 y = _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
-            if shift:
+            if shift and "roll" not in _ablate:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y
 
+            if "mlp" in _ablate:
+                continue
             flat = res.reshape(n * hgt * wdt, c)
             if use_fused_mlp:
                 flat = fused_mlp_block(
@@ -206,9 +236,12 @@ def swinir_fast_forward(
                 h1 = jax.nn.gelu(h1, approximate=False)
                 flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
             res = flat.reshape(n, hgt, wdt, c)
-        res = _residual_conv(res, layer["conv"])
+        if "conv" not in _ablate:
+            res = _residual_conv(res, layer["conv"])
         feats = res + feats
 
+    if "tail" in _ablate:
+        return feats
     feats = _layernorm(feats, params["norm"])
     x = _residual_conv(feats, params["conv_after_body"]) + shallow
 
