@@ -27,6 +27,7 @@ def main() -> None:
     parser.add_argument("--dim", type=int, default=180)
     parser.add_argument("--reps", type=int, default=50)
     parser.add_argument("--mlp", action="store_true", help="time fused_mlp_block instead")
+    parser.add_argument("--whole", action="store_true", help="time fused_swin_block (attn+MLP)")
     parser.add_argument("--vpu-ln", action="store_true", help="disable the MXU layernorm")
     args = parser.parse_args()
 
@@ -61,13 +62,20 @@ def main() -> None:
     bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * 0.02, jnp.float32)
     mask = jnp.asarray(calculate_mask((h, w), ws, ws // 2)) if args.shift else None
 
-    if args.mlp:
+    if args.mlp or args.whole:
         hidden = int(c * 2)
         w1 = jnp.asarray(rng.standard_normal((c, hidden)) * 0.05, dt)
         b1 = jnp.zeros((hidden,), dt)
         w2 = jnp.asarray(rng.standard_normal((hidden, c)) * 0.05, dt)
         b2 = jnp.zeros((c,), dt)
 
+    if args.whole:
+        def one(y):
+            return swin_block.fused_swin_block(
+                y, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias, mask,
+                ln_s, ln_b, w1, b1, w2, b2, heads=heads, window_size=ws,
+            )
+    elif args.mlp:
         def one(y):
             flat = y.reshape(h * w, c)
             out = swin_block.fused_mlp_block(flat, ln_s, ln_b, w1, b1, w2, b2)
@@ -96,7 +104,7 @@ def main() -> None:
         float(f(x))
         best = min(best, time.perf_counter() - t0)
     ms = best / args.reps * 1e3
-    kind = "mlp" if args.mlp else args.mode
+    kind = "whole" if args.whole else ("mlp" if args.mlp else args.mode)
     print(f"{kind}(chunk={args.chunk or 'auto'}, shift={args.shift}): {ms:.3f} ms/block")
 
 

@@ -156,7 +156,11 @@ def _pairs_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias2, ma
     nw = w // ws
     n = ws * ws
     n2 = 2 * n
-    pairs = nw // 2
+    # Odd window counts (e.g. the 33 windows/row of a flip-padded 256 input,
+    # ops/windows.py pad_to_multiple_flip) get one zero dummy window so
+    # pairing stays uniform; its rows are sliced off before the write.
+    nw_pad = nw + (nw % 2)
+    pairs = nw_pad // 2
     hp = heads * pairs
     s = heads * dp
 
@@ -166,9 +170,11 @@ def _pairs_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias2, ma
     qkv = (
         jnp.dot(ln_windows, wqkv, preferred_element_type=jnp.float32) + bqkv.astype(jnp.float32)
     ).astype(x.dtype)  # (nw*N, 3*s)
+    if nw_pad != nw:
+        qkv = jnp.pad(qkv, ((0, n), (0, 0)))
 
     def stack_heads(offset):
-        # (nw*N, s) lane-sliced per head -> (heads*pairs, 2N, dp), batch-major head.
+        # (nw_pad*N, s) lane-sliced per head -> (heads*pairs, 2N, dp), batch-major head.
         return jnp.concatenate(
             [qkv[:, offset + h * dp : offset + (h + 1) * dp].reshape(pairs, n2, dp) for h in range(heads)],
             axis=0,
@@ -186,25 +192,30 @@ def _pairs_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias2, ma
         # Diag-embed (nw, N, N) -> (pairs, 2N, 2N): rows of even windows keep
         # their mask in the left lane half, odd windows in the right half.
         mask_flat = mask.astype(jnp.float32).reshape(nw * n, n)
+        if nw_pad != nw:
+            mask_flat = jnp.pad(mask_flat, ((0, n), (0, 0)))
         zeros = jnp.zeros_like(mask_flat)
-        left = jnp.concatenate([mask_flat, zeros], axis=1)  # (nw*N, 2N)
+        left = jnp.concatenate([mask_flat, zeros], axis=1)  # (nw_pad*N, 2N)
         right = jnp.concatenate([zeros, mask_flat], axis=1)
-        row_par = (jax.lax.broadcasted_iota(jnp.int32, (nw * n, 1), 0) // n) % 2
+        row_par = (jax.lax.broadcasted_iota(jnp.int32, (nw_pad * n, 1), 0) // n) % 2
         mask2 = jnp.where(row_par == 0, left, right).reshape(pairs, n2, n2)
         scores = scores + mask2[None]
     scores = scores.reshape(hp, n2, n2)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
+    # No max-subtraction: softmax is shift-invariant, so skipping it changes
+    # nothing numerically while saving a 2N-lane max reduction + broadcast
+    # subtract per row; the clamp only engages where exp would overflow f32
+    # (|logits| of trained SR models are orders of magnitude below 80).
+    probs = jnp.exp(jnp.minimum(scores, 80.0))
     denom = jnp.sum(probs, axis=-1, keepdims=True)
     av = jax.lax.dot_general(
         probs.astype(x.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (heads*pairs, 2N, dp)
-    av = (av / denom).astype(x.dtype)
+    av = (av * (1.0 / denom)).astype(x.dtype)  # reciprocal on (hp,2N,1), multiply on (hp,2N,dp)
 
     attn = jnp.concatenate(
-        [av[h * pairs : (h + 1) * pairs].reshape(nw * n, dp) for h in range(heads)], axis=1
-    )  # (nw*N, heads*dp)
+        [av[h * pairs : (h + 1) * pairs].reshape(nw_pad * n, dp)[: nw * n] for h in range(heads)], axis=1
+    )  # (nw*N, heads*dp) — dummy-window rows dropped
     attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
     proj = (
         jnp.dot(attn, wproj, preferred_element_type=jnp.float32)
@@ -359,10 +370,12 @@ def fused_window_attention_block(
     pair_chunk = 0
     # Pairing pays when 2N fills one MXU tile (ws=8 -> 128 rows); at ws>=12
     # a single window already spans >=2 tiles and pairing only doubles the
-    # cross-window score waste and VMEM pressure.
+    # cross-window score waste and VMEM pressure. Odd divisors are fine —
+    # the kernel pads a zero dummy window (flip-padded eval maps have an
+    # ODD windows-per-row count, e.g. 33 at a 256 input).
     if 2 * n <= 128:
-        for cand in range(2, nw_row + 1, 2):
-            if nw_row % cand == 0 and cand <= min(pair_max, MAX_CHUNK_WINDOWS):
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
                 pair_chunk = cand
     use_pairs = pair_chunk > 0
 
@@ -459,8 +472,8 @@ def fused_swin_block(
     pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
     chunk = 0
     if 2 * n <= 128:
-        for cand in range(2, nw_row + 1, 2):
-            if nw_row % cand == 0 and cand <= min(pair_max, MAX_CHUNK_WINDOWS):
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
                 chunk = cand
     if chunk == 0 or hgt % ws:
         return None

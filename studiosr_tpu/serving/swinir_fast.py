@@ -47,11 +47,15 @@ def _layernorm(x, p):
     return out.astype(x.dtype)
 
 
-def _residual_conv(x, p):
+def _residual_conv(x, p, interpret=False):
     """RSTB residual connection: plain conv or SwinFIR's SFB
     (spatial branch || rfft spectral branch -> 1x1 fuse)."""
     if "kernel" in p:
-        return _conv(x, p)
+        from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+        # Streaming Pallas conv: one HBM pass (XLA's measured ~2.4x the
+        # stream bound in context, STATUS.md round-2 dissection).
+        return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], interpret=interpret)
     # SFB (models/swinfir.py): keys S / F / fusion.
     s = _conv(x, p["S"]["body.0"])
     s = jax.nn.leaky_relu(s, 0.2)
@@ -237,18 +241,31 @@ def swinir_fast_forward(
                 flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
             res = flat.reshape(n, hgt, wdt, c)
         if "conv" not in _ablate:
-            res = _residual_conv(res, layer["conv"])
+            res = _residual_conv(res, layer["conv"], interpret=interpret)
         feats = res + feats
 
     if "tail" in _ablate:
         return feats
     feats = _layernorm(feats, params["norm"])
-    x = _residual_conv(feats, params["conv_after_body"]) + shallow
+    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret) + shallow
 
     if upsampler == "pixelshuffle":
         x = _conv(x, params["conv_before_upsample.0"])
         x = jax.nn.leaky_relu(x, 0.01)
         up = params["upsample"]
+        if scale == 4 and "conv_last" in params:
+            from studiosr_tpu.ops.pallas.upsampler import fused_upsample_x4
+
+            fused_tail = fused_upsample_x4(
+                x,
+                up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
+                up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
+                params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
+                interpret=interpret,
+            )
+            if fused_tail is not None:
+                x = (fused_tail + mean) * img_range
+                return x[:, : h0 * scale, : w0 * scale, :]
         s = scale
         i = 0
         while s > 1 and (s & (s - 1)) == 0:

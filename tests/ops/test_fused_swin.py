@@ -119,3 +119,13 @@ def test_fused_swinir_light_upsampler():
     model.enable_fused(True)
     got = np.asarray(model(x))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_swinir_x4_tail_matches_linen():
+    """Scale-4 path exercises the fused upsampler tail kernel."""
+    model = SwinIR.build(scale=4, **SMALL)
+    x = np.random.default_rng(3).standard_normal((1, 16, 16, 3), dtype=np.float32)
+    want = np.asarray(model(x))
+    model.enable_fused(True)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)

@@ -1,0 +1,51 @@
+"""Fused x4 upsampler tail kernel vs the XLA conv+pixel_shuffle chain."""
+
+import numpy as np
+
+
+def test_fused_upsample_x4_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.upsampler import fused_upsample_x4
+    from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    rng = np.random.default_rng(0)
+    h = w = 16
+    cin, n_colors = 8, 3
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)), jnp.float32)
+    w0 = jnp.asarray(rng.standard_normal((3, 3, cin, 4 * cin)) * 0.1, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal(4 * cin) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, 4 * cin)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(4 * cin) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, cin, n_colors)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(n_colors) * 0.1, jnp.float32)
+
+    def conv(t, k, b):
+        return (
+            jax.lax.conv_general_dilated(
+                t, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b
+        )
+
+    want = conv(x, w0, b0)
+    want = pixel_shuffle(want, 2)
+    want = conv(want, w1, b1)
+    want = pixel_shuffle(want, 2)
+    want = np.asarray(conv(want, w2, b2))
+
+    got = fused_upsample_x4(x, w0, b0, w1, b1, w2, b2, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_upsample_x4_rejects_bad_shapes():
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.upsampler import fused_upsample_x4
+
+    x = jnp.zeros((2, 16, 16, 8), jnp.float32)  # batch > 1 unsupported
+    w = jnp.zeros((3, 3, 8, 32), jnp.float32)
+    w2 = jnp.zeros((3, 3, 8, 3), jnp.float32)
+    assert fused_upsample_x4(x, w, jnp.zeros(32), w, jnp.zeros(32), w2, jnp.zeros(3)) is None
