@@ -33,6 +33,7 @@ def main() -> None:
     parser.add_argument("--scale", type=int, default=4)
     parser.add_argument("--reps", type=int, default=4)
     parser.add_argument("--f32", action="store_true", help="also time float32")
+    parser.add_argument("--no-fused", action="store_true", help="keep the linen/XLA path")
     args = parser.parse_args()
 
     h = w = args.size
@@ -47,7 +48,7 @@ def main() -> None:
         for tag, half in modes:
             if half:
                 model.half()
-                if hasattr(model, "enable_fused") and name in ("swinir",):
+                if hasattr(model, "enable_fused") and not args.no_fused:
                     model.enable_fused(True)
             x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)), jnp.bfloat16 if half else jnp.float32)
             variables = jax.device_put(model.variables)

@@ -26,10 +26,16 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["fused_conv3x3", "fused_resblock"]
+__all__ = ["fused_conv3x3", "fused_resblock", "fused_cab_body"]
 
 ROW_BAND = 16
+# The nine shifted conv slices put band-16 kernels at ~18-23 MB of Mosaic
+# scoped stack; raise the budget past the 16 MB default (same escape jax's
+# TPU flash attention uses) instead of shrinking bands (smaller bands cost
+# halo re-reads).
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _act(y, kind):
@@ -154,7 +160,7 @@ def fused_conv3x3(
         out_specs=pl.BlockSpec((1, t, wdt, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hgt, wdt, cout), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
     )(x, x, x, w.astype(x.dtype), b.reshape(1, -1).astype(jnp.float32))
@@ -186,8 +192,91 @@ def fused_resblock(
         out_specs=pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
     )(x, x, x, w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+
+
+def _cab_kernel(prev_ref, cur_ref, next_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, psum_ref, *, res_scale):
+    """HAT CAB body: y2 = conv2(gelu(conv1(LN(x)))) on a row band, plus the
+    per-band channel sums of y2 (the caller finishes the global-mean channel
+    attention gate in XLA — it needs all bands)."""
+    from jax.experimental import pallas as pl
+
+    from studiosr_tpu.ops.pallas.swin_block import _erf, _layernorm
+
+    i = pl.program_id(1)
+    t = cur_ref.shape[1]
+    x = _assemble_band(prev_ref, cur_ref, next_ref, i, pl.num_programs(1), 2)
+    ln = _layernorm(
+        x.astype(jnp.float32), s_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32)
+    ).astype(cur_ref.dtype)
+    # Re-zero the out-of-image halo rows (LN of zeros is bias-shifted, the
+    # true chain's conv padding is zero AFTER LN).
+    rg0 = jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0) + i * t - 2
+    ln = jnp.where((rg0 >= 0) & (rg0 < pl.num_programs(1) * t), ln, jnp.zeros_like(ln))
+    lnp = _col_pad(ln, 2)  # (t+4, W+4, C)
+
+    h1 = _conv9(lnp, w1_ref, b1_ref[0], t + 2, lnp.shape[1] - 2)
+    h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
+    rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
+    ok_r = (rg >= 0) & (rg < pl.num_programs(1) * t)
+    cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 1
+    ok_c = (cg >= 0) & (cg < h1.shape[1] - 2)
+    h1 = jnp.where(ok_r & ok_c, h1, jnp.zeros_like(h1)).astype(cur_ref.dtype)
+    y2 = _conv9(h1, w2_ref, b2_ref[0], t, h1.shape[1] - 2) * res_scale
+    out_ref[0] = y2.astype(out_ref.dtype)
+    # (8, C) broadcast: Pallas requires the last-two block dims be
+    # (8k, lanes); row 0 is read back outside.
+    psum_ref[0] = jnp.broadcast_to(jnp.sum(y2, axis=(0, 1))[None], (8, y2.shape[-1]))
+
+
+@functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret"))
+def fused_cab_body(
+    x: jnp.ndarray,  # (B, H, W, C) — the block input (pre-LN)
+    ln_scale, ln_bias,
+    w1, b1,  # (3, 3, C, Cm)
+    w2, b2,  # (3, 3, Cm, C)
+    res_scale: float = 1.0,
+    band: int = 4,  # 8 VMEM-OOMs at C=180 (the nine shifted conv slices
+    # each materialize a relayout copy; 23.4M scoped > 16M)
+    interpret: bool = False,
+):
+    """One-pass HAT CAB trunk (``studiosr/models/hat.py`` CAB): returns
+    (y2, channel_sums) with y2 = res_scale * conv2(gelu(conv1(LN(x)))) and
+    channel_sums = sum over H, W of y2 (feeds the squeeze-excite gate)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, hgt, wdt, c = x.shape
+    cm = w1.shape[-1]
+    t = min(band, _row_band(hgt))
+    while hgt % t:
+        t //= 2
+    grid = (bsz, hgt // t)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_cab_kernel, res_scale=res_scale)
+    y2, psums = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_band_specs(bsz, hgt, wdt, c, t, 2)
+        + [full(1, c), full(1, c), full(3, 3, c, cm), full(1, cm), full(3, 3, cm, c), full(1, c)],
+        out_specs=(
+            pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((bsz, 8 * (hgt // t), c), jnp.float32),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(x, x, x, ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+      w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+    return y2, jnp.sum(psums.reshape(bsz, hgt // t, 8, c)[:, :, 0], axis=1)

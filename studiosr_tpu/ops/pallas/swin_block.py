@@ -242,23 +242,34 @@ def _swin_block_kernel_pairs(
     s2_ref, b2_ref,  # norm2 (1, C)
     w1_ref, fb1_ref, w2_ref, fb2_ref,  # MLP weights
     mask_ref,  # (nw, N, N) or None
+    extra_ref,  # (1, ws, cw, C) additive injection between the halves, or None
     out_ref,  # (1, ws, cw, C)
     *,
     heads: int,
     window_size: int,
     dp: int,
+    pairs: bool = True,
 ):
     """Whole Swin block (attention half + MLP half) in ONE pass over the
     stripe: the serving path is HBM-bandwidth-bound (~83 GB/s effective,
     STATUS.md round-2 findings), so halving the per-block map traffic
-    (2 kernel read+writes -> 1) is worth more than any compute win."""
+    (2 kernel read+writes -> 1) is worth more than any compute win. The
+    attention core is the window-pair one for ws=8 shapes (bias2 is the
+    pair-embedded bias) and the per-head v5 one otherwise (bias2 is the
+    plain (heads, N, N) bias)."""
     ws = window_size
     _, _, w, c = x_ref.shape
     mask = None if mask_ref is None else mask_ref[...]
-    y1 = _pairs_attn_stripe(
+    core = _pairs_attn_stripe if pairs else _v5_attn_stripe
+    y1 = core(
         x_ref[0], s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
         bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
-    ).astype(x_ref.dtype)
+    )
+    if extra_ref is not None:
+        # HAT's CAB branch joins between the attention and MLP halves
+        # (models/hat.py: x = attn_res + conv_scale * CAB; then MLP).
+        y1 = y1 + extra_ref[0].astype(jnp.float32)
+    y1 = y1.astype(x_ref.dtype)
     y2 = _mlp_rows(
         y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
     )
@@ -292,20 +303,29 @@ def _attn_block_kernel(
     window_size: int,
     dp: int,
 ):
+    mask = None if mask_ref is None else mask_ref[...]
+    y = _v5_attn_stripe(
+        x_ref[0], ln_scale_ref[0], ln_bias_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
+        bproj_ref[0], bias_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
+    )
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _v5_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, *, heads, window_size, dp):
+    """Per-head attention core on stripe VALUES: (ws, cw, C) -> f32 (ws, cw, C)."""
     ws = window_size
-    _, _, w, c = x_ref.shape
+    _, w, c = x.shape
     nw = w // ws
     n = ws * ws
     s = heads * dp
 
-    x = x_ref[0]  # (ws, W, C)
-    ln = _ln(x.astype(jnp.float32), ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
+    ln = _ln(x.astype(jnp.float32), ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32))
 
     # Stripe -> windows BEFORE the qkv projection: the relayouted tensor is C
     # wide instead of 3C (the matmul output needs no transpose).
     ln_windows = ln.astype(x.dtype).reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(nw * n, c)
     qkv = (
-        jnp.dot(ln_windows, wqkv_ref[...], preferred_element_type=jnp.float32) + bqkv_ref[0].astype(jnp.float32)
+        jnp.dot(ln_windows, wqkv, preferred_element_type=jnp.float32) + bqkv.astype(jnp.float32)
     ).astype(x.dtype)
     qkv = qkv.reshape(nw, n, 3 * s)
 
@@ -317,11 +337,12 @@ def _attn_block_kernel(
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (nw, N, N)
-        scores = scores + bias_ref[h][None].astype(jnp.float32)
-        if mask_ref is not None:
-            scores = scores + mask_ref[...].astype(jnp.float32)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        probs = jnp.exp(scores)
+        scores = scores + bias[h][None].astype(jnp.float32)
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        # softmax is shift-invariant: skip the max reduction, clamp only
+        # where exp would overflow f32 (far above any trained SR logit).
+        probs = jnp.exp(jnp.minimum(scores, 80.0))
         denom = jnp.sum(probs, axis=-1, keepdims=True)
         av = jax.lax.dot_general(
             probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -334,10 +355,10 @@ def _attn_block_kernel(
     # Windows -> stripe.
     attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
     proj = (
-        jnp.dot(attn, wproj_ref[...], preferred_element_type=jnp.float32)
-        + bproj_ref[0].astype(jnp.float32)
+        jnp.dot(attn, wproj, preferred_element_type=jnp.float32)
+        + bproj.astype(jnp.float32)
     )
-    out_ref[0] = (x.astype(jnp.float32) + proj.reshape(ws, w, c)).astype(out_ref.dtype)
+    return x.astype(jnp.float32) + proj.reshape(ws, w, c)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size", "interpret"))
@@ -455,6 +476,7 @@ def fused_swin_block(
     w1, b1, w2, b2,
     heads: int,
     window_size: int,
+    extra=None,  # optional (B, H, W, C) added between the halves (HAT CAB)
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
@@ -471,9 +493,17 @@ def fused_swin_block(
 
     pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
     chunk = 0
+    use_pairs = True
     if 2 * n <= 128:
         for cand in range(1, nw_row + 1):
             if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
+                chunk = cand
+    if chunk == 0:
+        # per-head (v5) core for larger windows (HAT's ws=16).
+        use_pairs = False
+        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand <= max_chunk:
                 chunk = cand
     if chunk == 0 or hgt % ws:
         return None
@@ -485,23 +515,25 @@ def fused_swin_block(
     s = heads * dp
     hidden = w1.shape[1]
     wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
-    bias2 = _pair_embed_bias(bias, n)
+    bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
 
-    kernel = functools.partial(_swin_block_kernel_pairs, heads=heads, window_size=ws, dp=dp)
-    if mask is None:
-        def kernel_nomask(x_ref, s1, b1_, wq, bq, wp, bp, bias_ref, s2, b2_, w1_, fb1, w2_, fb2, out_ref):
-            _swin_block_kernel_pairs(
-                x_ref, s1, b1_, wq, bq, wp, bp, bias_ref, s2, b2_, w1_, fb1, w2_, fb2, None, out_ref,
-                heads=heads, window_size=ws, dp=dp,
-            )
-        kernel = kernel_nomask
+    def kernel(*refs):
+        # refs: x, 13 weight/bias refs, then [mask], [extra], out
+        base = list(refs[:14])
+        rest = list(refs[14:-1])
+        mask_ref = rest.pop(0) if mask is not None else None
+        extra_ref = rest.pop(0) if extra is not None else None
+        _swin_block_kernel_pairs(
+            *base, mask_ref, extra_ref, refs[-1],
+            heads=heads, window_size=ws, dp=dp, pairs=use_pairs,
+        )
 
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         full(1, c), full(1, c),
         full(c, 3 * s), full(1, 3 * s), full(s, c), full(1, c),
-        full(heads, 2 * n, 2 * n),
+        full(*bias2.shape),
         full(1, c), full(1, c),
         full(c, hidden), full(1, hidden), full(hidden, c), full(1, c),
     ]
@@ -518,10 +550,18 @@ def fused_swin_block(
             pl.BlockSpec((chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mask)
+    if extra is not None:
+        in_specs.append(
+            pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(extra)
 
     compiler_params = None
     if not interpret:
-        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel"))
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -27,7 +27,7 @@ from studiosr_tpu.ops.windows import (
     window_partition,
     window_reverse,
 )
-from studiosr_tpu.serving.swinir_fast import _conv, _layernorm
+from studiosr_tpu.serving.swinir_fast import _conv, _layernorm, _residual_conv
 
 __all__ = ["hat_fast_forward"]
 
@@ -134,11 +134,48 @@ def hat_fast_forward(
             table = blk["attn"]["relative_position_bias_table"]
             bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
 
-            conv_x = _cab(_layernorm(res, blk["norm1"]), blk["conv_block"])
+            # CAB trunk in one Pallas pass (LN + conv-GELU-conv + channel
+            # sums); the global-mean squeeze-excite gate finishes in XLA and
+            # is folded into the residual combine below.
+            from studiosr_tpu.ops.pallas.conv3x3 import fused_cab_body
+
+            cb = blk["conv_block"]
+            y2, csum = fused_cab_body(
+                res,
+                blk["norm1"]["scale"], blk["norm1"]["bias"],
+                cb["cab.0"]["kernel"].astype(res.dtype), cb["cab.0"]["bias"],
+                cb["cab.2"]["kernel"].astype(res.dtype), cb["cab.2"]["bias"],
+                interpret=interpret,
+            )
+            ca_mean = (csum / (hgt * wdt)).astype(res.dtype).reshape(n, 1, 1, c)
+            g = jax.nn.relu(_conv(ca_mean, cb["cab.3"]["attention.1"]))
+            g = jax.nn.sigmoid(_conv(g, cb["cab.3"]["attention.3"]))
+            conv_x = y2 * g
 
             y = res
+            extra = conv_x * jnp.asarray(conv_scale, conv_x.dtype)
             if shift:
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+                extra = jnp.roll(extra, (-shift, -shift), axis=(1, 2))
+            from studiosr_tpu.ops.pallas.swin_block import fused_swin_block
+
+            # Whole HAB block (attention + CAB join + MLP) in one pass; the
+            # CAB branch is injected between the halves (MLP is token-wise,
+            # so computing it in rolled coordinates is exact).
+            whole = fused_swin_block(
+                y,
+                blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
+                bias, mask if shift else None,
+                blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
+                blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
+                heads=heads, window_size=ws, extra=extra, interpret=interpret,
+            )
+            if whole is not None:
+                res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
+                continue
             y = fused_window_attention_block(
                 y,
                 blk["norm1"]["scale"],
@@ -170,15 +207,49 @@ def hat_fast_forward(
             )
             res = flat.reshape(n, hgt, wdt, c)
 
-        res = _ocab(res, layer["residual_group.overlap_attn"], heads, ws, overlap_ratio)
-        res = _conv(res, layer["conv"]) + feats
+        oa = layer["residual_group.overlap_attn"]
+        from studiosr_tpu.ops.pallas.ocab import fused_ocab_block
+
+        rpi_oca = relative_position_index_oca(ws, overlap_ratio)
+        owin = int(ws * overlap_ratio) + ws
+        oca_bias = (
+            oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
+            .reshape(ws * ws, owin * owin, heads)
+            .transpose(2, 0, 1)
+        )
+        fused_oca = fused_ocab_block(
+            res,
+            oa["norm1"]["scale"], oa["norm1"]["bias"],
+            oa["qkv"]["kernel"].astype(res.dtype), oa["qkv"]["bias"],
+            oa["proj"]["kernel"].astype(res.dtype), oa["proj"]["bias"],
+            oca_bias,
+            oa["norm2"]["scale"], oa["norm2"]["bias"],
+            oa["mlp"]["fc1"]["kernel"].astype(res.dtype), oa["mlp"]["fc1"]["bias"],
+            oa["mlp"]["fc2"]["kernel"].astype(res.dtype), oa["mlp"]["fc2"]["bias"],
+            heads=heads, ws=ws, overlap_ratio=overlap_ratio, interpret=interpret,
+        )
+        res = fused_oca if fused_oca is not None else _ocab(res, oa, heads, ws, overlap_ratio)
+        res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
         feats = res
 
     feats = _layernorm(feats, params["norm"])
-    x = _conv(feats, params["conv_after_body"]) + shallow
+    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret) + shallow
     x = _conv(x, params["conv_before_upsample.0"])
     x = jax.nn.leaky_relu(x, 0.01)
     up = params["upsample"]
+    if scale == 4 and "conv_last" in params:
+        from studiosr_tpu.ops.pallas.upsampler import fused_upsample_x4
+
+        fused_tail = fused_upsample_x4(
+            x,
+            up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
+            up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
+            params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
+            interpret=interpret,
+        )
+        if fused_tail is not None:
+            x = (fused_tail + mean) * img_range
+            return x[:, : h0 * scale, : w0 * scale, :]
     s, i = scale, 0
     while s > 1 and (s & (s - 1)) == 0:
         x = _conv(x, up[str(2 * i)])
