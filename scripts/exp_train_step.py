@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--fwd-only", action="store_true", help="time the loss forward alone")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--crop", type=int, default=64)
     parser.add_argument("--steps", type=int, default=10)
@@ -43,6 +44,15 @@ def main() -> None:
     tx = build_optimizer()
     state = prepare_state(model.variables, tx, mesh)
     step_fn = make_train_step(module, tx, l1_loss, bfloat16=True, mesh=mesh)
+    if args.fwd_only:
+        import jax.numpy as jnp
+
+        def fwd(params, lq, gt, rng):
+            p16 = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), params)
+            out = module.apply({"params": p16}, lq.astype(jnp.bfloat16), train=True, rngs={"dropout": rng})
+            return l1_loss(out.astype(jnp.float32), gt)
+
+        fwd_j = jax.jit(fwd)
 
     rng = np.random.default_rng(0)
     lq = rng.random((args.batch, args.crop, args.crop, 3), np.float32)
@@ -51,16 +61,24 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
-    state, loss = step_fn(state, lq, gt, key)
-    float(loss)
+    if args.fwd_only:
+        float(fwd_j(state.params, lq, gt, key))
+    else:
+        state, loss = step_fn(state, lq, gt, key)
+        float(loss)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, i))
-    final = float(loss)
+    if args.fwd_only:
+        for i in range(args.steps):
+            l = fwd_j(state.params, lq, gt, jax.random.fold_in(key, i))
+        final = float(l)
+    else:
+        for i in range(args.steps):
+            state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, i))
+        final = float(loss)
     dt = (time.perf_counter() - t0) / args.steps
-    tag = "fused" if args.fused else "plain"
+    tag = ("fwd-only " if args.fwd_only else "") + ("fused" if args.fused else "plain")
     print(f"{tag}: {dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})")
 
 

@@ -43,6 +43,10 @@ PAIR_SCORE_VMEM_BUDGET = 5_000_000
 # 0.81): the f32 HIGHEST matvec + broadcasts cost more than the VPU
 # reduction tree. Kept as a documented experiment.
 LN_VIA_MXU = False
+# v5 core: heads ride the dot batch dim (one big batched dot per stage).
+# Measured NEUTRAL on HAT ws=16 (133.2 vs 129.8 ms with the per-head loop)
+# — the dots were not the bottleneck there either. Kept off.
+V5_HEADS_IN_BATCH = False
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -329,29 +333,54 @@ def _v5_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, 
     ).astype(x.dtype)
     qkv = qkv.reshape(nw, n, 3 * s)
 
-    head_outs = []
-    for h in range(heads):
-        q = qkv[:, :, h * dp : (h + 1) * dp]
-        k = qkv[:, :, s + h * dp : s + (h + 1) * dp]
-        v = qkv[:, :, 2 * s + h * dp : 2 * s + (h + 1) * dp]
+    if V5_HEADS_IN_BATCH:
+        # One batched dot over heads*windows instead of a per-head loop of
+        # shallow dots (fewer MXU launches; same math).
+        def stack(off):
+            return jnp.concatenate(
+                [qkv[:, :, off + h * dp : off + (h + 1) * dp] for h in range(heads)], axis=0
+            )  # (heads*nw, N, dp), head-major
+
+        q, k, v = stack(0), stack(s), stack(2 * s)
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (nw, N, N)
-        scores = scores + bias[h][None].astype(jnp.float32)
+        )  # (heads*nw, N, N)
+        scores = scores.reshape(heads, nw, n, n) + bias[:, None].astype(jnp.float32)
         if mask is not None:
-            scores = scores + mask.astype(jnp.float32)
-        # softmax is shift-invariant: skip the max reduction, clamp only
-        # where exp would overflow f32 (far above any trained SR logit).
+            scores = scores + mask[None].astype(jnp.float32)
+        scores = scores.reshape(heads * nw, n, n)
         probs = jnp.exp(jnp.minimum(scores, 80.0))
         denom = jnp.sum(probs, axis=-1, keepdims=True)
         av = jax.lax.dot_general(
-            probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            probs.astype(x.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # Normalize after AV: divides (nw, N, dp) instead of (nw, N, N).
-        head_outs.append((av / denom).astype(x.dtype))
+        av = (av * (1.0 / denom)).astype(x.dtype)
+        attn = jnp.concatenate([av[h * nw : (h + 1) * nw] for h in range(heads)], axis=-1)
+    else:
+        head_outs = []
+        for h in range(heads):
+            q = qkv[:, :, h * dp : (h + 1) * dp]
+            k = qkv[:, :, s + h * dp : s + (h + 1) * dp]
+            v = qkv[:, :, 2 * s + h * dp : 2 * s + (h + 1) * dp]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # (nw, N, N)
+            scores = scores + bias[h][None].astype(jnp.float32)
+            if mask is not None:
+                scores = scores + mask.astype(jnp.float32)
+            # softmax is shift-invariant: skip the max reduction, clamp only
+            # where exp would overflow f32 (far above any trained SR logit).
+            probs = jnp.exp(jnp.minimum(scores, 80.0))
+            denom = jnp.sum(probs, axis=-1, keepdims=True)
+            av = jax.lax.dot_general(
+                probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # Normalize after AV: divides (nw, N, dp) instead of (nw, N, N).
+            head_outs.append((av / denom).astype(x.dtype))
 
-    attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, heads*dp)
+        attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, heads*dp)
     # Windows -> stripe.
     attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
     proj = (
@@ -453,7 +482,10 @@ def fused_window_attention_block(
 
     compiler_params = None
     if not interpret:
-        compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel"))
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,

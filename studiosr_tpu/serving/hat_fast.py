@@ -31,6 +31,8 @@ from studiosr_tpu.serving.swinir_fast import _conv, _layernorm, _residual_conv
 
 __all__ = ["hat_fast_forward"]
 
+USE_WHOLE_HAB = False
+
 
 def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
@@ -161,8 +163,10 @@ def hat_fast_forward(
 
             # Whole HAB block (attention + CAB join + MLP) in one pass; the
             # CAB branch is injected between the halves (MLP is token-wise,
-            # so computing it in rolled coordinates is exact).
-            whole = fused_swin_block(
+            # so computing it in rolled coordinates is exact). Measured
+            # slightly SLOWER than the split path at ws=16 (133.4 vs
+            # 129.8 ms total) — kept opt-in.
+            whole = None if not USE_WHOLE_HAB else fused_swin_block(
                 y,
                 blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
