@@ -156,8 +156,7 @@ class SwinTransformerBlock(nn.Module):
         if self.fused_train:
             if self.drop:
                 raise NotImplementedError("fused_train requires drop==0")
-            from studiosr_tpu.ops.attn_vjp import attention_map_vjp
-            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+            from studiosr_tpu.ops.swin_vjp import WHOLE_BLOCK_TRAIN, swin_block_map_vjp
 
             s1, b1 = _LayerNormParams(c, name="norm1")()
             table, wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, ws, self.num_heads, name="attn")()
@@ -165,16 +164,33 @@ class SwinTransformerBlock(nn.Module):
             bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, self.num_heads)
             bias = bias.transpose(2, 0, 1)
             mask = jnp.asarray(calculate_mask((h, w), ws, ss)) if ss > 0 else None
-            y = attention_map_vjp(
-                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, ss, self.num_heads, ws
-            )
-            x = x + DropPath(self.drop_path)(y - x, deterministic=not train)
+
+            if train and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                bits = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, 2))
+                dp_scales = bits.astype(jnp.float32) / keep
+            else:
+                dp_scales = jnp.ones((b, 2), jnp.float32)
 
             s2, b2 = _LayerNormParams(c, name="norm2")()
             w1, bb1, w2, bb2 = _MlpParams(c, int(self.dim * self.mlp_ratio), name="mlp")()
+            if WHOLE_BLOCK_TRAIN:
+                return swin_block_map_vjp(
+                    x, s1, b1, wqkv, bqkv, wproj, bproj, bias, s2, b2, w1, bb1, w2, bb2,
+                    mask, dp_scales, ss, self.num_heads, ws,
+                )
+            from studiosr_tpu.ops.attn_vjp import attention_map_vjp
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+
+            d1 = dp_scales[:, 0].reshape(b, 1, 1, 1)
+            d2 = dp_scales[:, 1].reshape(b, 1, 1, 1)
+            y = attention_map_vjp(
+                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, ss, self.num_heads, ws
+            )
+            x = (x.astype(jnp.float32) + d1 * (y - x).astype(jnp.float32)).astype(x.dtype)
             flat = x.reshape(b * h * w, c)
             y = mlp_block_vjp(flat, s2, b2, w1, bb1, w2, bb2).reshape(b, h, w, c)
-            return x + DropPath(self.drop_path)(y - x, deterministic=not train)
+            return (x.astype(jnp.float32) + d2 * (y - x).astype(jnp.float32)).astype(x.dtype)
 
         shortcut = x
         x = LayerNorm(name="norm1")(x)

@@ -247,6 +247,8 @@ def _swin_block_kernel_pairs(
     w1_ref, fb1_ref, w2_ref, fb2_ref,  # MLP weights
     mask_ref,  # (nw, N, N) or None
     extra_ref,  # (1, ws, cw, C) additive injection between the halves, or None
+    dp1_ref,  # (1, 1) per-sample DropPath scale for the attention half, or None
+    dp2_ref,  # (1, 1) ... for the MLP half, or None
     out_ref,  # (1, ws, cw, C)
     *,
     heads: int,
@@ -269,6 +271,11 @@ def _swin_block_kernel_pairs(
         x_ref[0], s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
         bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
     )
+    if dp1_ref is not None:
+        # stochastic-depth scaling of the residual DELTA (y1 = x + d1*attn):
+        # exact because the core returns x + attn.
+        x32 = x_ref[0].astype(jnp.float32)
+        y1 = x32 + dp1_ref[0, 0, 0] * (y1 - x32)
     if extra_ref is not None:
         # HAT's CAB branch joins between the attention and MLP halves
         # (models/hat.py: x = attn_res + conv_scale * CAB; then MLP).
@@ -277,6 +284,9 @@ def _swin_block_kernel_pairs(
     y2 = _mlp_rows(
         y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
     )
+    if dp1_ref is not None:
+        y132 = y1.reshape(ws * w, c).astype(jnp.float32)
+        y2 = y132 + dp2_ref[0, 0, 0] * (y2 - y132)
     out_ref[0] = y2.reshape(ws, w, c).astype(out_ref.dtype)
 
 
@@ -509,6 +519,7 @@ def fused_swin_block(
     heads: int,
     window_size: int,
     extra=None,  # optional (B, H, W, C) added between the halves (HAT CAB)
+    drop_path=None,  # optional (B, 2) per-sample keep-scales (already /keep)
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
@@ -550,13 +561,15 @@ def fused_swin_block(
     bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
 
     def kernel(*refs):
-        # refs: x, 13 weight/bias refs, then [mask], [extra], out
+        # refs: x, 13 weight/bias refs, then [mask], [extra], [drop_path], out
         base = list(refs[:14])
         rest = list(refs[14:-1])
         mask_ref = rest.pop(0) if mask is not None else None
         extra_ref = rest.pop(0) if extra is not None else None
+        dp1_ref = rest.pop(0) if drop_path is not None else None
+        dp2_ref = rest.pop(0) if drop_path is not None else None
         _swin_block_kernel_pairs(
-            *base, mask_ref, extra_ref, refs[-1],
+            *base, mask_ref, extra_ref, dp1_ref, dp2_ref, refs[-1],
             heads=heads, window_size=ws, dp=dp, pairs=use_pairs,
         )
 
@@ -587,6 +600,15 @@ def fused_swin_block(
             pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM)
         )
         operands.append(extra)
+    if drop_path is not None:
+        # (B, 1, 1) so the last-two block dims equal the array dims (the
+        # Pallas block rule applies to SMEM operands too).
+        dp2d = drop_path.reshape(-1, 2).astype(jnp.float32)
+        for col in (0, 1):
+            in_specs.append(
+                pl.BlockSpec((1, 1, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.SMEM)
+            )
+            operands.append(dp2d[:, col : col + 1].reshape(-1, 1, 1))
 
     compiler_params = None
     if not interpret:
