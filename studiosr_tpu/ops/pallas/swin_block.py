@@ -123,7 +123,7 @@ def _ln(x32, scale, bias):
 
 
 def _attn_block_kernel_pairs(
-    x_ref,  # (1, ws, cw, C)
+    x_ref,  # (1, spp*ws, cw, C)
     ln_scale_ref,  # (1, C)
     ln_bias_ref,  # (1, C)
     wqkv_ref,  # (C, 3*heads*dp) head-padded, q pre-scaled
@@ -131,12 +131,13 @@ def _attn_block_kernel_pairs(
     wproj_ref,  # (heads*dp, C)
     bproj_ref,  # (1, C)
     bias2_ref,  # (heads, 2N, 2N) pair-embedded bias (off-diagonal -1e30)
-    mask_ref,  # (nw, N, N) or None
-    out_ref,  # (1, ws, cw, C)
+    mask_ref,  # (spp*nw, N, N) or None
+    out_ref,  # (1, spp*ws, cw, C)
     *,
     heads: int,
     window_size: int,
     dp: int,
+    spp: int = 1,
 ):
     """Window-pair variant: adjacent windows share one 2N-row score block and
     heads ride the dot batch dim, so the whole chunk's attention is TWO
@@ -145,12 +146,16 @@ def _attn_block_kernel_pairs(
     score entries are killed by the -1e30 off-diagonal folded into ``bias2``
     (exp underflows to exactly 0). 2N = 128 for ws=8: one full MXU tile per
     batch element. Measured vs the per-head kernel in STATUS.md."""
-    mask = None if mask_ref is None else mask_ref[...]
-    y = _pairs_attn_stripe(
-        x_ref[0], ln_scale_ref[0], ln_bias_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
-        bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
-    )
-    out_ref[0] = y.astype(out_ref.dtype)
+    ws = window_size
+    nw = x_ref.shape[2] // ws
+    for r in range(spp):
+        mask = None if mask_ref is None else mask_ref[r * nw : (r + 1) * nw]
+        y = _pairs_attn_stripe(
+            x_ref[0, r * ws : (r + 1) * ws], ln_scale_ref[0], ln_bias_ref[0], wqkv_ref[...],
+            bqkv_ref[0], wproj_ref[...], bproj_ref[0], bias2_ref[...], mask,
+            heads=heads, window_size=window_size, dp=dp,
+        )
+        out_ref[0, r * ws : (r + 1) * ws] = y.astype(out_ref.dtype)
 
 
 def _pairs_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias2, mask, *, heads, window_size, dp):
@@ -457,21 +462,29 @@ def fused_window_attention_block(
     s = heads * dp
     wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
 
+    # Stripes-per-program: folding several stripe rows into one program was
+    # measured MUCH slower (training step 1.86 vs 0.84 s at spp=8) — Mosaic
+    # pipelines DMA against compute ACROSS grid steps, so fewer/bigger
+    # programs lose the overlap. Keep 1; the mechanism stays for experiments.
+    spp = 1
+
     base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel
     if use_pairs:
         bias = _pair_embed_bias(bias, n)
-    kernel = functools.partial(base_kernel, heads=heads, window_size=ws, dp=dp)
+    extra_kw = {"spp": spp} if use_pairs else {}
+    kernel = functools.partial(base_kernel, heads=heads, window_size=ws, dp=dp, **extra_kw)
     if mask is None:
         def kernel_nomask(x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, out_ref):
             base_kernel(
                 x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
-                heads=heads, window_size=ws, dp=dp,
+                heads=heads, window_size=ws, dp=dp, **extra_kw,
             )
         kernel = kernel_nomask
 
+    grid = (b, hgt // (spp * ws), nw_row // chunk)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, spp * ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         full(1, c),
         full(1, c),
         full(c, 3 * s),
@@ -485,8 +498,10 @@ def fused_window_attention_block(
     n_chunks = nw_row // chunk
     if mask is not None:
         # Shift mask is shared across the batch (same static image size).
+        # With spp > 1 the row is one chunk, so a program's masks are the
+        # contiguous spp*chunk windows starting at stripe i*spp.
         in_specs.append(
-            pl.BlockSpec((chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((spp * chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mask)
 
@@ -500,7 +515,7 @@ def fused_window_attention_block(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, spp * ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=compiler_params,
         interpret=interpret,
