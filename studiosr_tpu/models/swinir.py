@@ -180,17 +180,17 @@ class SwinTransformerBlock(nn.Module):
                     mask, dp_scales, ss, self.num_heads, ws,
                 )
             from studiosr_tpu.ops.attn_vjp import attention_map_vjp
-            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_dp_vjp
 
-            d1 = dp_scales[:, 0].reshape(b, 1, 1, 1)
-            d2 = dp_scales[:, 1].reshape(b, 1, 1, 1)
-            y = attention_map_vjp(
-                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, ss, self.num_heads, ws
+            # per-sample stochastic-depth scales folded INTO the kernels (the
+            # XLA delta-scaling costs ~3 full-map passes per half).
+            x = attention_map_vjp(
+                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales[:, 0],
+                ss, self.num_heads, ws,
             )
-            x = (x.astype(jnp.float32) + d1 * (y - x).astype(jnp.float32)).astype(x.dtype)
             flat = x.reshape(b * h * w, c)
-            y = mlp_block_vjp(flat, s2, b2, w1, bb1, w2, bb2).reshape(b, h, w, c)
-            return (x.astype(jnp.float32) + d2 * (y - x).astype(jnp.float32)).astype(x.dtype)
+            y = mlp_block_dp_vjp(flat, s2, b2, w1, bb1, w2, bb2, dp_scales[:, 1], h * w)
+            return y.reshape(b, h, w, c)
 
         shortcut = x
         x = LayerNorm(name="norm1")(x)

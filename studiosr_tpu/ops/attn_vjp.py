@@ -175,39 +175,61 @@ def _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads
     return jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def attention_map_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws):
-    """``x + proj(window_attn(LN(roll(x))))`` rolled back, on (B, H, W, C)
-    maps. The primal runs the fused Pallas serving kernel on TPU (identical
-    math, VMEM-resident — ops/pallas/swin_block.py); the backward is the
-    validated XLA window math with flash-style recompute. ``mask`` gets a
-    zero gradient; roll/partition are permutations so their transpose is the
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def attention_map_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, heads, ws):
+    """``x + d1 * (proj(window_attn(LN(roll(x)))) rolled back - x)`` on
+    (B, H, W, C) maps. The primal runs the fused Pallas serving kernel on
+    TPU (identical math, VMEM-resident, with the per-sample stochastic-depth
+    scale ``dp_scales`` (B,) folded in — ops/pallas/swin_block.py); the
+    backward is the validated XLA window math with flash-style recompute and
+    the scale applied analytically. ``mask`` and ``dp_scales`` get zero
+    gradients; roll/partition are permutations so their transpose is the
     inverse roll/partition of the incoming cotangent."""
-    return _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
+    out = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
+    return _apply_dp(x, out, dp_scales)
 
 
-def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws):
-    if jax.default_backend() == "cpu":
-        out = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
-    else:
+def _apply_dp(x, full, dp_scales):
+    if dp_scales is None:
+        return full
+    d = dp_scales.reshape(-1, 1, 1, 1).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    return (x32 + d * (full.astype(jnp.float32) - x32)).astype(x.dtype)
+
+
+def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, heads, ws):
+    out = None
+    if jax.default_backend() != "cpu":
         from studiosr_tpu.ops.pallas.swin_block import fused_window_attention_block
 
         z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
-        z = fused_window_attention_block(
-            z, s, b, wqkv.astype(z.dtype), bqkv, wproj.astype(z.dtype), bproj, bias, mask,
-            heads=heads, window_size=ws,
-        )
-        out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
-    return out, (x, s, b, wqkv, bqkv, wproj, bproj, bias, mask)
+        try:
+            z = fused_window_attention_block(
+                z, s, b, wqkv.astype(z.dtype), bqkv, wproj.astype(z.dtype), bproj, bias, mask,
+                heads=heads, window_size=ws, drop_path=dp_scales,
+            )
+            out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+        except NotImplementedError:  # non-pair layout can't fold drop_path
+            out = None
+    if out is None:
+        full = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
+        out = _apply_dp(x, full, dp_scales)
+    return out, (x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales)
 
 
 def _map_bwd(shift, heads, ws, residuals, g):
     from studiosr_tpu.ops.windows import window_partition, window_reverse
 
-    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask = residuals
+    x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales = residuals
     _, hgt, wdt, c = x.shape
+    g32 = g.astype(jnp.float32)
+    if dp_scales is not None:
+        d = dp_scales.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        g_in = (d * g32).astype(x.dtype)
+    else:
+        g_in = g
     z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
-    gz = jnp.roll(g, (-shift, -shift), axis=(1, 2)) if shift else g
+    gz = jnp.roll(g_in, (-shift, -shift), axis=(1, 2)) if shift else g_in
     zw = window_partition(z, ws).reshape(-1, ws * ws, c)
     gw = window_partition(gz, ws).reshape(-1, ws * ws, c)
     dzw, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias = _window_bwd_math(
@@ -215,8 +237,11 @@ def _map_bwd(shift, heads, ws, residuals, g):
     )
     dz = window_reverse(dzw.reshape(-1, ws, ws, c), ws, hgt, wdt)
     dx = jnp.roll(dz, (shift, shift), axis=(1, 2)) if shift else dz
+    if dp_scales is not None:
+        dx = (dx.astype(jnp.float32) + (1.0 - d) * g32).astype(x.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
-    return (dx, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask)
+    ddp = None if dp_scales is None else jnp.zeros_like(dp_scales)
+    return (dx, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask, ddp)
 
 
 attention_map_vjp.defvjp(_map_fwd, _map_bwd)

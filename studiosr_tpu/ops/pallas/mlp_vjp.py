@@ -26,7 +26,7 @@ import numpy as np
 
 from studiosr_tpu.ops.pallas.swin_block import _erf
 
-__all__ = ["mlp_block_vjp"]
+__all__ = ["mlp_block_vjp", "mlp_block_dp_vjp"]
 
 _INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 _INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
@@ -172,3 +172,54 @@ def _bwd(residuals, g):
 
 
 mlp_block_vjp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# DropPath-folding variant: y = x + d * (fc2(gelu(fc1(LN(x))))), d per sample.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def mlp_block_dp_vjp(x, s, b, w1, b1, w2, b2, dp_scales, rows_per_sample):
+    """``mlp_block_vjp`` with the per-sample stochastic-depth scale folded
+    into the kernel (the XLA formulation costs ~3 full-map passes per block
+    in training). ``dp_scales`` (B,) are already divided by keep and get a
+    zero gradient; ``rows_per_sample`` maps flat rows to samples."""
+    d = _row_scales(dp_scales, x.shape[0], rows_per_sample)
+    full = _reference_forward(x, s, b, w1, b1, w2, b2)
+    x32 = x.astype(jnp.float32)
+    return (x32 + d * (full.astype(jnp.float32) - x32)).astype(x.dtype)
+
+
+def _row_scales(dp_scales, rows, rows_per_sample):
+    d = jnp.repeat(dp_scales.astype(jnp.float32), rows_per_sample)
+    return d.reshape(rows, 1)
+
+
+def _dp_fwd(x, s, b, w1, b1, w2, b2, dp_scales, rows_per_sample):
+    if jax.default_backend() == "cpu":
+        d = _row_scales(dp_scales, x.shape[0], rows_per_sample)
+        full = _reference_forward(x, s, b, w1, b1, w2, b2)
+        x32 = x.astype(jnp.float32)
+        out = (x32 + d * (full.astype(jnp.float32) - x32)).astype(x.dtype)
+    else:
+        from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block
+
+        out = fused_mlp_block(
+            x, s, b, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2,
+            drop_path=dp_scales, rows_per_sample=rows_per_sample,
+        )
+    return out, (x, s, b, w1, b1, w2, b2, dp_scales)
+
+
+def _dp_bwd(rows_per_sample, residuals, g):
+    x, s, b, w1, b1, w2, b2, dp_scales = residuals
+    d = _row_scales(dp_scales, x.shape[0], rows_per_sample)
+    g32 = g.astype(jnp.float32)
+    g_in = (d * g32).astype(x.dtype)
+    dx_p, ds, db, dw1, db1_, dw2, db2_ = _bwd((x, s, b, w1, b1, w2, b2), g_in)
+    dx = (dx_p.astype(jnp.float32) + (1.0 - d) * g32).astype(x.dtype)
+    return (dx, ds, db, dw1, db1_, dw2, db2_, jnp.zeros_like(dp_scales))
+
+
+mlp_block_dp_vjp.defvjp(_dp_fwd, _dp_bwd)

@@ -132,6 +132,7 @@ def _attn_block_kernel_pairs(
     bproj_ref,  # (1, C)
     bias2_ref,  # (heads, 2N, 2N) pair-embedded bias (off-diagonal -1e30)
     mask_ref,  # (spp*nw, N, N) or None
+    dp_ref,  # (1, 1, 1) per-sample DropPath scale (already /keep) or None
     out_ref,  # (1, spp*ws, cw, C)
     *,
     heads: int,
@@ -155,6 +156,11 @@ def _attn_block_kernel_pairs(
             bqkv_ref[0], wproj_ref[...], bproj_ref[0], bias2_ref[...], mask,
             heads=heads, window_size=window_size, dp=dp,
         )
+        if dp_ref is not None:
+            # stochastic-depth scaling of the residual delta in-kernel (the
+            # XLA formulation costs ~3 full-map passes per block in training).
+            x32 = x_ref[0, r * ws : (r + 1) * ws].astype(jnp.float32)
+            y = x32 + dp_ref[0, 0, 0] * (y - x32)
         out_ref[0, r * ws : (r + 1) * ws] = y.astype(out_ref.dtype)
 
 
@@ -418,6 +424,7 @@ def fused_window_attention_block(
     mask: Optional[jnp.ndarray],  # (nW, N, N) or None
     heads: int,
     window_size: int,
+    drop_path=None,  # optional (B,) per-sample keep-scales (already /keep)
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -471,15 +478,19 @@ def fused_window_attention_block(
     base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel
     if use_pairs:
         bias = _pair_embed_bias(bias, n)
+    if drop_path is not None and not use_pairs:
+        raise NotImplementedError("drop_path folding requires the pair kernel")
     extra_kw = {"spp": spp} if use_pairs else {}
-    kernel = functools.partial(base_kernel, heads=heads, window_size=ws, dp=dp, **extra_kw)
-    if mask is None:
-        def kernel_nomask(x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, out_ref):
-            base_kernel(
-                x_ref, s_ref, b_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
-                heads=heads, window_size=ws, dp=dp, **extra_kw,
-            )
-        kernel = kernel_nomask
+
+    def kernel(*refs):
+        # refs: x + 7 weight/bias refs, then [mask], [drop_path], out
+        base = list(refs[:8])
+        rest = list(refs[8:-1])
+        mask_ref = rest.pop(0) if mask is not None else None
+        args = base + [mask_ref]
+        if use_pairs:
+            args.append(rest.pop(0) if drop_path is not None else None)
+        base_kernel(*args, refs[-1], heads=heads, window_size=ws, dp=dp, **extra_kw)
 
     grid = (b, hgt // (spp * ws), nw_row // chunk)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -504,6 +515,11 @@ def fused_window_attention_block(
             pl.BlockSpec((spp * chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mask)
+    if drop_path is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(drop_path.reshape(-1, 1, 1).astype(jnp.float32))
 
     compiler_params = None
     if not interpret:
@@ -642,21 +658,25 @@ def fused_swin_block(
     )(*operands)
 
 
-def _mlp_kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+def _mlp_kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dp_ref=None):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     ln = _ln(x32, ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
     h = jnp.dot(ln.astype(x.dtype), w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
     h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
     y = jnp.dot(h.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    if dp_ref is not None:
+        y = dp_ref[0, 0, 0] * y  # stochastic-depth scale on the delta
     out_ref[...] = (x32 + y).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_rows", "rows_per_sample", "interpret"))
 def fused_mlp_block(
     x: jnp.ndarray,  # (rows, C)
     ln_scale, ln_bias, w1, b1, w2, b2,
     block_rows: int = 1024,
+    drop_path=None,  # optional (B,) per-sample keep-scales; needs rows_per_sample
+    rows_per_sample: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -664,6 +684,11 @@ def fused_mlp_block(
 
     rows, c = x.shape
     hidden = w1.shape[1]
+    if drop_path is not None:
+        # each grid block must stay within one sample
+        assert rows_per_sample > 0 and rows % rows_per_sample == 0
+        while rows_per_sample % block_rows:
+            block_rows //= 2
     pad = (-rows) % block_rows
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
@@ -671,16 +696,27 @@ def fused_mlp_block(
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(dimension_semantics=("parallel",))
+    in_specs = [
+        pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full(1, c), full(1, c), full(c, hidden), full(1, hidden), full(hidden, c), full(1, c),
+    ]
+    operands = [xp, ln_scale.reshape(1, c), ln_bias.reshape(1, c), w1, b1.reshape(1, hidden), w2, b2.reshape(1, c)]
+    if drop_path is not None:
+        bps = rows_per_sample // block_rows
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (i // bps, 0, 0), memory_space=pltpu.SMEM))
+        operands.append(drop_path.reshape(-1, 1, 1).astype(jnp.float32))
+    if drop_path is not None:
+        def mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, dp_ref, out_ref):
+            _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, dp_ref=dp_ref)
+    else:
+        mlp_kernel = _mlp_kernel
     out = pl.pallas_call(
-        _mlp_kernel,
+        mlp_kernel,
         grid=((rows + pad) // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            full(1, c), full(1, c), full(c, hidden), full(1, hidden), full(hidden, c), full(1, c),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(xp, ln_scale.reshape(1, c), ln_bias.reshape(1, c), w1, b1.reshape(1, hidden), w2, b2.reshape(1, c))
+    )(*operands)
     return out[:rows] if pad else out

@@ -100,8 +100,8 @@ def _bwd(shift, heads, ws, res, g):
 
     # Attention half: dx = (1-d1)*dy1 + attn_bwd(d1*dy1).
     g1 = (d1 * dy1).astype(x.dtype)
-    dxp, ds1, db1, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask = _attn._map_bwd(
-        shift, heads, ws, (x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask), g1
+    dxp, ds1, db1, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask, _ddp = _attn._map_bwd(
+        shift, heads, ws, (x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, None), g1
     )
     dx = (dxp.astype(jnp.float32) + (1.0 - d1) * dy1).astype(x.dtype)
 
