@@ -223,6 +223,24 @@ def _map_bwd(shift, heads, ws, residuals, g):
     x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales = residuals
     _, hgt, wdt, c = x.shape
     g32 = g.astype(jnp.float32)
+
+    if jax.default_backend() != "cpu":
+        # One-pass Pallas backward (recompute + whole chain in VMEM): the
+        # XLA math materializes the (nW, heads, N, N) cotangents in HBM.
+        from studiosr_tpu.ops.pallas.attn_bwd import pairs_attention_bwd
+
+        z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        gz = jnp.roll(g, (-shift, -shift), axis=(1, 2)) if shift else g
+        res = pairs_attention_bwd(
+            z, gz, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales,
+            heads=heads, window_size=ws,
+        )
+        if res is not None:
+            dz, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias = res
+            dx = jnp.roll(dz, (shift, shift), axis=(1, 2)) if shift else dz
+            dmask = None if mask is None else jnp.zeros_like(mask)
+            ddp = None if dp_scales is None else jnp.zeros_like(dp_scales)
+            return (dx, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask, ddp)
     if dp_scales is not None:
         d = dp_scales.reshape(-1, 1, 1, 1).astype(jnp.float32)
         g_in = (d * g32).astype(x.dtype)
