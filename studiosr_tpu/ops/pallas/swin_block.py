@@ -258,6 +258,7 @@ def _swin_block_kernel_pairs(
     w1_ref, fb1_ref, w2_ref, fb2_ref,  # MLP weights
     mask_ref,  # (nw, N, N) or None
     extra_ref,  # (1, ws, cw, C) additive injection between the halves, or None
+    escale_ref,  # (1, 1, C) per-sample channel scale applied to extra, or None
     dp1_ref,  # (1, 1) per-sample DropPath scale for the attention half, or None
     dp2_ref,  # (1, 1) ... for the MLP half, or None
     out_ref,  # (1, ws, cw, C)
@@ -289,8 +290,13 @@ def _swin_block_kernel_pairs(
         y1 = x32 + dp1_ref[0, 0, 0] * (y1 - x32)
     if extra_ref is not None:
         # HAT's CAB branch joins between the attention and MLP halves
-        # (models/hat.py: x = attn_res + conv_scale * CAB; then MLP).
-        y1 = y1 + extra_ref[0].astype(jnp.float32)
+        # (models/hat.py: x = attn_res + conv_scale * CAB; then MLP). The
+        # squeeze-excite gate (x conv_scale) rides along as a per-sample
+        # channel scale so no separate elementwise pass touches the map.
+        extra = extra_ref[0].astype(jnp.float32)
+        if escale_ref is not None:
+            extra = extra * escale_ref[0, 0].astype(jnp.float32)
+        y1 = y1 + extra
     y1 = y1.astype(x_ref.dtype)
     y2 = _mlp_rows(
         y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
@@ -550,6 +556,7 @@ def fused_swin_block(
     heads: int,
     window_size: int,
     extra=None,  # optional (B, H, W, C) added between the halves (HAT CAB)
+    extra_scale=None,  # optional (B, C) per-sample channel scale for extra
     drop_path=None,  # optional (B, 2) per-sample keep-scales (already /keep)
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
@@ -592,15 +599,17 @@ def fused_swin_block(
     bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
 
     def kernel(*refs):
-        # refs: x, 13 weight/bias refs, then [mask], [extra], [drop_path], out
+        # refs: x, 13 weight/bias refs, [mask], [extra], [extra_scale],
+        # [drop_path x2], out
         base = list(refs[:14])
         rest = list(refs[14:-1])
         mask_ref = rest.pop(0) if mask is not None else None
         extra_ref = rest.pop(0) if extra is not None else None
+        escale_ref = rest.pop(0) if extra_scale is not None else None
         dp1_ref = rest.pop(0) if drop_path is not None else None
         dp2_ref = rest.pop(0) if drop_path is not None else None
         _swin_block_kernel_pairs(
-            *base, mask_ref, extra_ref, dp1_ref, dp2_ref, refs[-1],
+            *base, mask_ref, extra_ref, escale_ref, dp1_ref, dp2_ref, refs[-1],
             heads=heads, window_size=ws, dp=dp, pairs=use_pairs,
         )
 
@@ -631,6 +640,11 @@ def fused_swin_block(
             pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM)
         )
         operands.append(extra)
+    if extra_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, c), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(extra_scale.reshape(-1, 1, c))
     if drop_path is not None:
         # (B, 1, 1) so the last-two block dims equal the array dims (the
         # Pallas block rule applies to SMEM operands too).

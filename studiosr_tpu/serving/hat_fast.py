@@ -31,6 +31,8 @@ from studiosr_tpu.serving.swinir_fast import _conv, _layernorm, _residual_conv
 
 __all__ = ["hat_fast_forward"]
 
+# Whole-HAB (incl. gate-folded CAB join) measured 133.8 vs 130.8 ms split —
+# neutral again; the CAB KERNEL itself is the cost (see exp_hat_ablate).
 USE_WHOLE_HAB = False
 
 
@@ -100,7 +102,11 @@ def hat_fast_forward(
     x: jnp.ndarray,
     config: Dict[str, Any],
     interpret: bool = False,
+    _ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
+    """``_ablate``: perf-dissection hook (scripts/exp_hat_ablate.py) — subsets
+    of {"cab", "attn", "mlp", "ocab", "conv", "tail"} skip that part
+    (timing only, wrong math)."""
     params = variables["params"]
     scale = int(config["scale"])
     depths = list(config["depths"])
@@ -142,30 +148,36 @@ def hat_fast_forward(
             from studiosr_tpu.ops.pallas.conv3x3 import fused_cab_body
 
             cb = blk["conv_block"]
-            y2, csum = fused_cab_body(
-                res,
-                blk["norm1"]["scale"], blk["norm1"]["bias"],
-                cb["cab.0"]["kernel"].astype(res.dtype), cb["cab.0"]["bias"],
-                cb["cab.2"]["kernel"].astype(res.dtype), cb["cab.2"]["bias"],
-                interpret=interpret,
-            )
-            ca_mean = (csum / (hgt * wdt)).astype(res.dtype).reshape(n, 1, 1, c)
-            g = jax.nn.relu(_conv(ca_mean, cb["cab.3"]["attention.1"]))
-            g = jax.nn.sigmoid(_conv(g, cb["cab.3"]["attention.3"]))
-            conv_x = y2 * g
+            if "cab" in _ablate:
+                conv_x = res * jnp.asarray(0, res.dtype)
+                y2 = conv_x
+                g = None
+            else:
+                y2, csum = fused_cab_body(
+                    res,
+                    blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    cb["cab.0"]["kernel"].astype(res.dtype), cb["cab.0"]["bias"],
+                    cb["cab.2"]["kernel"].astype(res.dtype), cb["cab.2"]["bias"],
+                    interpret=interpret,
+                )
+                ca_mean = (csum / (hgt * wdt)).astype(res.dtype).reshape(n, 1, 1, c)
+                g = jax.nn.relu(_conv(ca_mean, cb["cab.3"]["attention.1"]))
+                g = jax.nn.sigmoid(_conv(g, cb["cab.3"]["attention.3"]))
+                conv_x = None  # materialized lazily (split path only)
 
             y = res
-            extra = conv_x * jnp.asarray(conv_scale, conv_x.dtype)
+            extra = y2 if "cab" not in _ablate else conv_x
+            escale = (g.reshape(n, c) * jnp.asarray(conv_scale, g.dtype)) if "cab" not in _ablate else None
             if shift:
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
                 extra = jnp.roll(extra, (-shift, -shift), axis=(1, 2))
             from studiosr_tpu.ops.pallas.swin_block import fused_swin_block
 
             # Whole HAB block (attention + CAB join + MLP) in one pass; the
-            # CAB branch is injected between the halves (MLP is token-wise,
-            # so computing it in rolled coordinates is exact). Measured
-            # slightly SLOWER than the split path at ws=16 (133.4 vs
-            # 129.8 ms total) — kept opt-in.
+            # UNSCALED CAB trunk output joins between the halves with the
+            # squeeze-excite gate (x conv_scale) as a per-sample channel
+            # scale — no elementwise pass ever touches the map (the ablation
+            # showed those passes were ~half of HAT's runtime).
             whole = None if not USE_WHOLE_HAB else fused_swin_block(
                 y,
                 blk["norm1"]["scale"], blk["norm1"]["bias"],
@@ -175,29 +187,34 @@ def hat_fast_forward(
                 blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
                 blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                heads=heads, window_size=ws, extra=extra, interpret=interpret,
+                heads=heads, window_size=ws, extra=extra, extra_scale=escale,
+                interpret=interpret,
             )
             if whole is not None:
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
                 continue
-            y = fused_window_attention_block(
-                y,
-                blk["norm1"]["scale"],
-                blk["norm1"]["bias"],
-                blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                blk["attn"]["qkv"]["bias"],
-                blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                blk["attn"]["proj"]["bias"],
-                bias,
-                mask if shift else None,
-                heads=heads,
-                window_size=ws,
-                interpret=interpret,
-            )
+            conv_x = conv_x if "cab" in _ablate else y2 * g
+            if "attn" not in _ablate:
+                y = fused_window_attention_block(
+                    y,
+                    blk["norm1"]["scale"],
+                    blk["norm1"]["bias"],
+                    blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                    blk["attn"]["qkv"]["bias"],
+                    blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                    blk["attn"]["proj"]["bias"],
+                    bias,
+                    mask if shift else None,
+                    heads=heads,
+                    window_size=ws,
+                    interpret=interpret,
+                )
             if shift:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y + conv_x * conv_scale
 
+            if "mlp" in _ablate:
+                continue
             flat = res.reshape(n * hgt * wdt, c)
             flat = fused_mlp_block(
                 flat,
@@ -211,6 +228,13 @@ def hat_fast_forward(
             )
             res = flat.reshape(n, hgt, wdt, c)
 
+        if "ocab" in _ablate:
+            if "conv" not in _ablate:
+                res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
+                feats = res
+            else:
+                feats = res
+            continue
         oa = layer["residual_group.overlap_attn"]
         from studiosr_tpu.ops.pallas.ocab import fused_ocab_block
 
@@ -233,9 +257,12 @@ def hat_fast_forward(
             heads=heads, ws=ws, overlap_ratio=overlap_ratio, interpret=interpret,
         )
         res = fused_oca if fused_oca is not None else _ocab(res, oa, heads, ws, overlap_ratio)
-        res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
+        if "conv" not in _ablate:
+            res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
         feats = res
 
+    if "tail" in _ablate:
+        return feats
     feats = _layernorm(feats, params["norm"])
     x = _residual_conv(feats, params["conv_after_body"], interpret=interpret) + shallow
     x = _conv(x, params["conv_before_upsample.0"])
