@@ -5,7 +5,9 @@ import jax
 import numpy as np
 
 from studiosr_tpu.models.edsr import EDSR
-from studiosr_tpu.serving.edsr_fast import edsr_fast_forward
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from edsr_fast import edsr_fast_forward
 
 
 def test_edsr_fast_forward_matches_linen():

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -99,10 +100,28 @@ class Trainer:
         # Fused-training kernels (custom-VJP Pallas blocks): opt in for
         # modules that support the flag; default = on for those on TPU.
         self.fused_train = False
-        if hasattr(type(model.module), "fused_train") and not getattr(model.module, "fused_train"):
+        supports_fused = hasattr(type(model.module), "fused_train")
+        module_already_fused = supports_fused and getattr(model.module, "fused_train")
+        if supports_fused and not module_already_fused:
             if fused_train is None:
                 fused_train = jax.default_backend() != "cpu" and not getattr(model.module, "drop_rate", 0.0)
             self.fused_train = bool(fused_train)
+        elif fused_train is not None:
+            # An explicit request we cannot honor: the module type has no
+            # fused_train flag, or was built with fused_train=True already
+            # (which this Trainer flag cannot turn back off). Be loud rather
+            # than silently dropping the argument.
+            if module_already_fused and fused_train is False:
+                raise ValueError(
+                    "fused_train=False cannot disable a module built with "
+                    "fused_train=True; rebuild the module without the flag"
+                )
+            if not supports_fused and fused_train:
+                warnings.warn(
+                    f"fused_train=True ignored: {type(model.module).__name__} "
+                    "has no fused-training path",
+                    stacklevel=2,
+                )
 
         self.criterion = get_loss(loss_function)
         self.best_psnr = 0.0

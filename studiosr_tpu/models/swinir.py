@@ -156,8 +156,6 @@ class SwinTransformerBlock(nn.Module):
         if self.fused_train:
             if self.drop:
                 raise NotImplementedError("fused_train requires drop==0")
-            from studiosr_tpu.ops.swin_vjp import WHOLE_BLOCK_TRAIN, swin_block_map_vjp
-
             s1, b1 = _LayerNormParams(c, name="norm1")()
             table, wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, ws, self.num_heads, name="attn")()
             rpi = relative_position_index(ws)
@@ -174,11 +172,9 @@ class SwinTransformerBlock(nn.Module):
 
             s2, b2 = _LayerNormParams(c, name="norm2")()
             w1, bb1, w2, bb2 = _MlpParams(c, int(self.dim * self.mlp_ratio), name="mlp")()
-            if WHOLE_BLOCK_TRAIN:
-                return swin_block_map_vjp(
-                    x, s1, b1, wqkv, bqkv, wproj, bproj, bias, s2, b2, w1, bb1, w2, bb2,
-                    mask, dp_scales, ss, self.num_heads, ws,
-                )
+            # Whole-block training VJP (scripts/experiments/swin_vjp.py) was
+            # measured SLOWER than the split VJPs (0.92 vs 0.86 s/step) —
+            # the split attn/MLP custom-VJP granularity is the keeper.
             from studiosr_tpu.ops.attn_vjp import attention_map_vjp
             from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_dp_vjp
 

@@ -229,14 +229,19 @@ def pairs_attention_bwd(
     ws = window_size
     n = ws * ws
     nw_row = w // ws
+    from studiosr_tpu.ops.pallas import engagement
+
     pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
     chunk = 0
-    if 2 * n <= 128 and hgt % ws == 0:
+    if 2 * n <= 128 and hgt % ws == 0 and w % ws == 0:
         for cand in range(1, nw_row + 1):
             if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
                 chunk = cand
     if chunk == 0:
-        return None
+        return engagement.fallback(
+            "pairs_attention_bwd", f"layout mismatch: shape {x.shape}, ws={ws}"
+        )
+    engagement.engaged("pairs_attention_bwd")
 
     d = c // heads
     dpad = ((d + 31) // 32) * 32

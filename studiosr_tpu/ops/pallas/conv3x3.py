@@ -147,6 +147,9 @@ def fused_conv3x3(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.engaged("fused_conv3x3")
     bsz, hgt, wdt, cin = x.shape
     cout = w.shape[-1]
     t = _row_band(hgt)
@@ -251,6 +254,9 @@ def fused_cab_body(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.engaged("fused_cab_body")
     bsz, hgt, wdt, c = x.shape
     cm = w1.shape[-1]
     t = min(band, _row_band(hgt))

@@ -171,11 +171,20 @@ def fused_ocab_block(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
     b, hgt, w, c = x.shape
     owin = int(ws * overlap_ratio) + ws
     pad = (owin - ws) // 2
-    if hgt % ws or w % ws or pad == 0 or ws % pad or c % heads:
-        return None
+    # ws % 8: the kernel's dynamic kv/q/out column starts are asserted
+    # 8-aligned via pl.multiple_of(j * ws, 8); admitting a non-multiple ws
+    # would make that hint false (wrong DMAs on TPU — Mosaic alignment rule).
+    if hgt % ws or w % ws or pad == 0 or ws % pad or c % heads or ws % 8:
+        return engagement.fallback(
+            "fused_ocab_block",
+            f"layout mismatch: shape {x.shape}, ws={ws}, pad={pad}, heads={heads}",
+        )
+    engagement.engaged("fused_ocab_block")
 
     d = c // heads
     dp = ((d + 31) // 32) * 32

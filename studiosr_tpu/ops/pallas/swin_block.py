@@ -38,15 +38,9 @@ MAX_CHUNK_WINDOWS = 16
 SCORE_VMEM_BUDGET = 1_300_000  # bytes of f32 scores per head (ws16 -> 4 windows)
 # Pair kernel: f32 scores + bf16 probs for ALL heads live at once.
 PAIR_SCORE_VMEM_BUDGET = 5_000_000
-# LayerNorm stats through MXU matvecs instead of VPU lane reductions.
-# Measured SLOWER on v5e (pairs kernel 1.35 vs 1.12 ms/block; MLP 1.10 vs
-# 0.81): the f32 HIGHEST matvec + broadcasts cost more than the VPU
-# reduction tree. Kept as a documented experiment.
-LN_VIA_MXU = False
-# v5 core: heads ride the dot batch dim (one big batched dot per stage).
-# Measured NEUTRAL on HAT ws=16 (133.2 vs 129.8 ms with the per-head loop)
-# — the dots were not the bottleneck there either. Kept off.
-V5_HEADS_IN_BATCH = False
+# Measured-dead variants (LN via MXU matvecs: slower; heads-in-batch v5
+# dots: neutral at ws=16) are quarantined under scripts/experiments/ with
+# their STATUS.md measurements.
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -65,32 +59,6 @@ def _layernorm(x32: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
-def _layernorm_mxu(x32: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm with the lane reductions routed through the MXU.
-
-    A VPU lane-axis reduction is a log2(lanes) shuffle+add tree over the full
-    block (~8 steps x 2 reductions ~ several microseconds per program —
-    measured as the dominant kernel cost, see STATUS.md round-2 dissection);
-    a (rows, C) x (C, 1) matvec does the same sum in one MXU pass.
-    E[x^2] - mu^2 replaces the two-pass variance. HIGHEST precision keeps the
-    stats true-f32 (TPU dots otherwise truncate f32 multiplies to bf16)."""
-    c = x32.shape[-1]
-    lead = x32.shape[:-1]
-    x2d = x32.reshape(-1, c)
-    ones = jnp.full((c, 1), 1.0, jnp.float32)
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    mu = dot(x2d, ones) * (1.0 / c)  # (rows, 1)
-    m2 = dot(x2d * x2d, ones) * (1.0 / c)
-    var = jnp.maximum(m2 - mu * mu, 0.0)
-    out = (x2d - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-    return out.reshape(*lead, c)
 
 
 def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
@@ -119,7 +87,7 @@ def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
 
 
 def _ln(x32, scale, bias):
-    return (_layernorm_mxu if LN_VIA_MXU else _layernorm)(x32, scale, bias)
+    return _layernorm(x32, scale, bias)
 
 
 def _attn_block_kernel_pairs(
@@ -301,7 +269,7 @@ def _swin_block_kernel_pairs(
     y2 = _mlp_rows(
         y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
     )
-    if dp1_ref is not None:
+    if dp2_ref is not None:
         y132 = y1.reshape(ws * w, c).astype(jnp.float32)
         y2 = y132 + dp2_ref[0, 0, 0] * (y2 - y132)
     out_ref[0] = y2.reshape(ws, w, c).astype(out_ref.dtype)
@@ -360,54 +328,29 @@ def _v5_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, 
     ).astype(x.dtype)
     qkv = qkv.reshape(nw, n, 3 * s)
 
-    if V5_HEADS_IN_BATCH:
-        # One batched dot over heads*windows instead of a per-head loop of
-        # shallow dots (fewer MXU launches; same math).
-        def stack(off):
-            return jnp.concatenate(
-                [qkv[:, :, off + h * dp : off + (h + 1) * dp] for h in range(heads)], axis=0
-            )  # (heads*nw, N, dp), head-major
-
-        q, k, v = stack(0), stack(s), stack(2 * s)
+    head_outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * dp : (h + 1) * dp]
+        k = qkv[:, :, s + h * dp : s + (h + 1) * dp]
+        v = qkv[:, :, 2 * s + h * dp : 2 * s + (h + 1) * dp]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (heads*nw, N, N)
-        scores = scores.reshape(heads, nw, n, n) + bias[:, None].astype(jnp.float32)
+        )  # (nw, N, N)
+        scores = scores + bias[h][None].astype(jnp.float32)
         if mask is not None:
-            scores = scores + mask[None].astype(jnp.float32)
-        scores = scores.reshape(heads * nw, n, n)
+            scores = scores + mask.astype(jnp.float32)
+        # softmax is shift-invariant: skip the max reduction, clamp only
+        # where exp would overflow f32 (far above any trained SR logit).
         probs = jnp.exp(jnp.minimum(scores, 80.0))
         denom = jnp.sum(probs, axis=-1, keepdims=True)
         av = jax.lax.dot_general(
-            probs.astype(x.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        av = (av * (1.0 / denom)).astype(x.dtype)
-        attn = jnp.concatenate([av[h * nw : (h + 1) * nw] for h in range(heads)], axis=-1)
-    else:
-        head_outs = []
-        for h in range(heads):
-            q = qkv[:, :, h * dp : (h + 1) * dp]
-            k = qkv[:, :, s + h * dp : s + (h + 1) * dp]
-            v = qkv[:, :, 2 * s + h * dp : 2 * s + (h + 1) * dp]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )  # (nw, N, N)
-            scores = scores + bias[h][None].astype(jnp.float32)
-            if mask is not None:
-                scores = scores + mask.astype(jnp.float32)
-            # softmax is shift-invariant: skip the max reduction, clamp only
-            # where exp would overflow f32 (far above any trained SR logit).
-            probs = jnp.exp(jnp.minimum(scores, 80.0))
-            denom = jnp.sum(probs, axis=-1, keepdims=True)
-            av = jax.lax.dot_general(
-                probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            # Normalize after AV: divides (nw, N, dp) instead of (nw, N, N).
-            head_outs.append((av / denom).astype(x.dtype))
+        # Normalize after AV: divides (nw, N, dp) instead of (nw, N, N).
+        head_outs.append((av / denom).astype(x.dtype))
 
-        attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, heads*dp)
+    attn = jnp.concatenate(head_outs, axis=-1)  # (nw, N, heads*dp)
     # Windows -> stripe.
     attn = attn.reshape(nw, ws, ws, s).transpose(1, 0, 2, 3).reshape(ws * w, s)
     proj = (
@@ -469,6 +412,10 @@ def fused_window_attention_block(
                 chunk = cand
     cw = chunk * ws  # chunk width in pixels
     grid = (b, hgt // ws, nw_row // chunk)
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.engaged("fused_window_attention_block")
 
     d = c // heads
     dp = ((d + 31) // 32) * 32
@@ -586,8 +533,16 @@ def fused_swin_block(
         for cand in range(1, nw_row + 1):
             if nw_row % cand == 0 and cand <= max_chunk:
                 chunk = cand
-    if chunk == 0 or hgt % ws:
-        return None
+    if chunk == 0 or hgt % ws or w % ws:
+        from studiosr_tpu.ops.pallas import engagement
+
+        return engagement.fallback(
+            "fused_swin_block",
+            f"layout mismatch: shape {x.shape}, ws={ws} (chunk={chunk})",
+        )
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.engaged("fused_swin_block")
     cw = chunk * ws
     grid = (b, hgt // ws, nw_row // chunk)
 
@@ -672,9 +627,18 @@ def fused_swin_block(
     )(*operands)
 
 
-def _mlp_kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dp_ref=None):
+def _mlp_kernel(x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                dp_ref=None, extra_ref=None, escale_ref=None):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
+    if extra_ref is not None:
+        # HAT's CAB join (models/hat.py: x = attn_out + conv_scale * g * y2)
+        # folded into the MLP pass: one +M read replaces a 3M XLA join pass.
+        e32 = extra_ref[...].astype(jnp.float32)
+        if escale_ref is not None:
+            e32 = e32 * escale_ref[0].astype(jnp.float32)
+        x32 = x32 + e32
+        x = x32.astype(x.dtype)
     ln = _ln(x32, ln_scale_ref[0].astype(jnp.float32), ln_bias_ref[0].astype(jnp.float32))
     h = jnp.dot(ln.astype(x.dtype), w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
     h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
@@ -691,11 +655,16 @@ def fused_mlp_block(
     block_rows: int = 1024,
     drop_path=None,  # optional (B,) per-sample keep-scales; needs rows_per_sample
     rows_per_sample: int = 0,
+    extra=None,  # optional (rows, C) residual joined before LN (HAT CAB)
+    extra_scale=None,  # optional (C,) per-channel scale on ``extra``
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.engaged("fused_mlp_block")
     rows, c = x.shape
     hidden = w1.shape[1]
     if drop_path is not None:
@@ -719,9 +688,28 @@ def fused_mlp_block(
         bps = rows_per_sample // block_rows
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (i // bps, 0, 0), memory_space=pltpu.SMEM))
         operands.append(drop_path.reshape(-1, 1, 1).astype(jnp.float32))
-    if drop_path is not None:
-        def mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, dp_ref, out_ref):
-            _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, dp_ref=dp_ref)
+    if extra is not None:
+        ep = jnp.pad(extra, ((0, pad), (0, 0))) if pad else extra
+        in_specs.append(pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        operands.append(ep)
+        if extra_scale is not None:
+            in_specs.append(full(1, c))
+            operands.append(extra_scale.reshape(1, c))
+
+    has_dp, has_extra, has_escale = (
+        drop_path is not None, extra is not None, extra_scale is not None,
+    )
+    if has_dp or has_extra:
+        def mlp_kernel(*refs):
+            base, rest = list(refs[:7]), list(refs[7:-1])
+            kw = {}
+            if has_dp:
+                kw["dp_ref"] = rest.pop(0)
+            if has_extra:
+                kw["extra_ref"] = rest.pop(0)
+            if has_escale:
+                kw["escale_ref"] = rest.pop(0)
+            _mlp_kernel(*base, refs[-1], **kw)
     else:
         mlp_kernel = _mlp_kernel
     out = pl.pallas_call(

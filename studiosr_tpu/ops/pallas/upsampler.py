@@ -216,11 +216,18 @@ def fused_upsample_x4(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
     n, h, w, cin = x.shape
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
     if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
-        return None
+        return engagement.fallback(
+            "fused_upsample_x4",
+            f"layout mismatch: shape {x.shape}, tile={tile}, "
+            f"w0 out {w0.shape[-1]} vs {4 * cin}",
+        )
+    engagement.engaged("fused_upsample_x4")
 
     perm = _quadrant_perm(cin)
     w0p = w0[..., perm]

@@ -119,15 +119,21 @@ def window_attention_pallas(
 ):
     """Fused attention over (B, heads, N, d); returns None for unsupported
     configs (caller falls back to XLA)."""
+    from studiosr_tpu.ops.pallas import engagement
+
     b, h, n, d = q.shape
     m = k.shape[2]
     if bias is None:
-        return None
+        return engagement.fallback("window_attention_pallas", "no bias operand")
     if mask is not None and mask.shape[0] != b:
-        return None  # window axis must equal batch axis (batch size 1)
+        # window axis must equal batch axis (batch size 1)
+        return engagement.fallback(
+            "window_attention_pallas", f"mask windows {mask.shape[0]} != batch {b}"
+        )
     if n > 1024 or m > 1024:
-        return None
+        return engagement.fallback("window_attention_pallas", f"N too large: {n}x{m}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     block_windows = min(block_windows, b)
+    engagement.engaged("window_attention_pallas")
     return _window_attention_impl(q, k, v, bias, mask, block_windows, interpret)

@@ -193,7 +193,6 @@ def hat_fast_forward(
             if whole is not None:
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
                 continue
-            conv_x = conv_x if "cab" in _ablate else y2 * g
             if "attn" not in _ablate:
                 y = fused_window_attention_block(
                     y,
@@ -211,6 +210,27 @@ def hat_fast_forward(
                 )
             if shift:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
+
+            # CAB join folded into the MLP kernel (batch-1 serving): the
+            # UNROLLED trunk y2 joins with the per-channel gate as an extra
+            # kernel operand — one +M read instead of a 3M elementwise pass.
+            if n == 1 and "cab" not in _ablate and "mlp" not in _ablate:
+                flat = fused_mlp_block(
+                    y.reshape(n * hgt * wdt, c),
+                    blk["norm2"]["scale"],
+                    blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["kernel"].astype(y.dtype),
+                    blk["mlp"]["fc1"]["bias"],
+                    blk["mlp"]["fc2"]["kernel"].astype(y.dtype),
+                    blk["mlp"]["fc2"]["bias"],
+                    extra=y2.reshape(n * hgt * wdt, c),
+                    extra_scale=g.reshape(c) * jnp.asarray(conv_scale, g.dtype),
+                    interpret=interpret,
+                )
+                res = flat.reshape(n, hgt, wdt, c)
+                continue
+
+            conv_x = conv_x if "cab" in _ablate else y2 * g
             res = y + conv_x * conv_scale
 
             if "mlp" in _ablate:

@@ -74,36 +74,6 @@ def _residual_conv(x, p, interpret=False):
     return _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])
 
 
-def _packed_attention_block(y, blk, bias, mask, heads, ws, interpret=False):
-    """Attention half via the MXU-aligned packed kernel (kernel v3):
-    LN/qkv/proj in XLA, scores+softmax+AV in ops/pallas/packed_attn.py."""
-    from studiosr_tpu.ops.pallas.packed_attn import make_bias_pack, pack_head_weights, packed_window_attention
-    from studiosr_tpu.ops.windows import window_partition, window_reverse
-
-    _, hgt, wdt, c = y.shape
-    d = c // heads
-    dp = ((d + 31) // 32) * 32
-    ln = _layernorm(y, blk["norm1"])
-    windows = window_partition(ln, ws).reshape(-1, ws * ws, c)  # (nW, 64, C)
-    n_windows = windows.shape[0]
-
-    wqkv = blk["attn"]["qkv"]["kernel"].astype(y.dtype)
-    bqkv = blk["attn"]["qkv"]["bias"].astype(y.dtype)
-    wq, bq = pack_head_weights(wqkv[:, :c], bqkv[:c], heads, dp, scale=float(d) ** -0.5)
-    wk, bk = pack_head_weights(wqkv[:, c : 2 * c], bqkv[c : 2 * c], heads, dp)
-    wv, bv = pack_head_weights(wqkv[:, 2 * c :], bqkv[2 * c :], heads, dp)
-
-    def project(w, b):
-        t = windows @ w + b  # (nW, 64, heads*dp)
-        return t.reshape(n_windows, ws * ws, heads, dp).transpose(0, 2, 1, 3).reshape(-1, ws * ws, dp)
-
-    q, k, v = project(wq, bq), project(wk, bk), project(wv, bv)
-    out = packed_window_attention(q, k, v, make_bias_pack(bias), mask, heads, interpret=interpret)
-    out = out.reshape(n_windows, heads, ws * ws, dp)[..., :d].transpose(0, 2, 1, 3).reshape(n_windows, ws * ws, c)
-    out = out @ blk["attn"]["proj"]["kernel"].astype(y.dtype) + blk["attn"]["proj"]["bias"].astype(y.dtype)
-    return y + window_reverse(out.reshape(-1, ws, ws, c), ws, hgt, wdt)
-
-
 def _xla_attention_block(y, blk, bias, mask, heads, ws):
     """XLA fallback for the attention half (used for kernel A/B ablations)."""
     from studiosr_tpu.ops.attention import attention_core
@@ -197,8 +167,6 @@ def swinir_fast_forward(
                     continue
             if "attn" in _ablate:
                 pass
-            elif use_fused_attn == "packed":
-                y = _packed_attention_block(y, blk, bias, mask if shift else None, heads, ws, interpret=interpret)
             elif use_fused_attn:
                 y = fused_window_attention_block(
                     y,

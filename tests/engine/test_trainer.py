@@ -156,3 +156,44 @@ def test_loss_decreases():
     fresh = EDSR.build(scale=2, n_feats=16, n_resblocks=2)
     fresh_err = np.abs(np.asarray(fresh(lq[None]))[0] - gt).mean()
     assert final_err < fresh_err
+
+
+def test_fused_trainer_matches_plain_on_cpu(tmp_path):
+    """End-to-end fused-Trainer wiring (``fused_train=True``): the custom-VJP
+    Pallas blocks run in interpret mode on CPU, and a few optimizer steps land
+    on the same parameters as the plain autodiff path. Auto-selection keeps
+    the fused path off on CPU (``trainer.py``), so without this explicit
+    opt-in CI would never execute the fused Trainer wiring."""
+    from studiosr_tpu.models import SwinIR
+
+    dataset = SyntheticPairs(n=16, size=16, scale=2)
+
+    def run(fused):
+        model = SwinIR.build(
+            scale=2, embed_dim=16, depths=[2], num_heads=[2], window_size=8,
+            drop_path_rate=0.0, upsampler="pixelshuffledirect", seed=0,
+        )
+        trainer = Trainer(
+            model,
+            dataset,
+            None,
+            batch_size=8,
+            num_workers=1,
+            max_iters=3,
+            eval_interval=1000,
+            ckpt_path=str(tmp_path / ("fused" if fused else "plain")),
+            bfloat16=False,
+            seed=0,
+            fused_train=fused,
+        )
+        trainer.run()
+        return trainer.state.params
+
+    import jax
+
+    plain, fused = run(False), run(True)
+    flat_p = jax.tree_util.tree_leaves(plain)
+    flat_f = jax.tree_util.tree_leaves(fused)
+    assert len(flat_p) == len(flat_f)
+    for a, b in zip(flat_p, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)

@@ -1,0 +1,131 @@
+"""Fused kernels must ENGAGE at the driver benchmark geometry.
+
+Round 2's costliest bug: every fused kernel silently fell back at the actual
+bench shape (the eval flip-padding grows a 256 input to a 264x264 map with an
+ODD 33 windows/row) and the callers quietly took XLA (STATUS.md). These tests
+pin each fused serving component as ENGAGED at exactly that geometry — tracing
+only (jax.eval_shape), no compile, so they run on the CPU suite.
+
+Counter semantics: engagement records fire when the kernel wrapper's Python
+body runs, which jit caching can skip — hence reset() + jax.clear_caches()
+before each trace.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from studiosr_tpu.ops.pallas import engagement
+
+
+def _trace_engagement(forward, variables, x_shape, dtype, config):
+    engagement.reset()
+    jax.clear_caches()
+    x = jax.ShapeDtypeStruct(x_shape, dtype)
+    jax.eval_shape(lambda v, a: forward(v, a, config), variables, x)
+    return engagement.counters()
+
+
+def _assert_engaged(counts, names):
+    problems = []
+    for name in names:
+        rec = counts.get(name, {})
+        if not rec.get("engaged"):
+            problems.append(f"{name}: never engaged ({rec})")
+        if rec.get("fallback"):
+            problems.append(f"{name}: fell back — {rec.get('reason')}")
+    assert not problems, "; ".join(problems) + f"; all counters: {counts}"
+
+
+def test_swinir_fused_engaged_at_bench_shape():
+    """SwinIR classical x4, 256x256 LR input (bench.py protocol): the
+    264x264 flip-padded map must run the whole-block kernel, the streaming
+    convs, and the fused x4 tail — no silent fallback anywhere."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    model = SwinIR.build(scale=4, fast_init=True).half()
+    counts = _trace_engagement(
+        swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(counts, ["fused_swin_block", "fused_conv3x3", "fused_upsample_x4"])
+    # The whole-block kernel subsumes the split kernels: the split attention
+    # kernel engaging would mean the whole-block kernel fell back somewhere.
+    assert "fused_window_attention_block" not in counts, counts
+
+
+def test_hat_fused_engaged_at_bench_shape():
+    """HAT x4 at 256x256 (scripts/bench_models.py shape): CAB trunk kernel,
+    ws=16 attention, MLP, OCAB, streaming convs, fused tail all engaged."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.hat import HAT
+    from studiosr_tpu.serving.hat_fast import hat_fast_forward
+
+    model = HAT.build(scale=4, fast_init=True).half()
+    counts = _trace_engagement(
+        hat_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(
+        counts,
+        [
+            "fused_cab_body",
+            "fused_window_attention_block",
+            "fused_mlp_block",
+            "fused_ocab_block",
+            "fused_conv3x3",
+            "fused_upsample_x4",
+        ],
+    )
+
+
+def test_fallback_is_recorded_and_strict_raises():
+    """The fallback path is loud: counters record it, strict mode raises."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.upsampler import fused_upsample_x4
+
+    engagement.reset()
+    jax.clear_caches()
+    cin = 64
+    # 7x7 spatial: no valid tile -> guaranteed fallback.
+    args = (
+        jax.ShapeDtypeStruct((1, 7, 7, cin), jnp.float32),
+        jax.ShapeDtypeStruct((3, 3, cin, 4 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((4 * cin,), jnp.float32),
+        jax.ShapeDtypeStruct((3, 3, cin, 4 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((4 * cin,), jnp.float32),
+        jax.ShapeDtypeStruct((3, 3, cin, 3), jnp.float32),
+        jax.ShapeDtypeStruct((3,), jnp.float32),
+    )
+    out = jax.eval_shape(fused_upsample_x4, *args)
+    assert out is None
+    rec = engagement.counters()["fused_upsample_x4"]
+    assert rec["fallback"] == 1 and "reason" in rec
+
+    engagement.set_strict(True)
+    try:
+        jax.clear_caches()
+        with pytest.raises(engagement.KernelFallback):
+            jax.eval_shape(fused_upsample_x4, *args)
+    finally:
+        engagement.set_strict(False)
+
+
+def test_engaged_is_recorded_small_shape():
+    """Engagement records on a small CPU-friendly shape (8-divisible)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+    engagement.reset()
+    jax.clear_caches()
+    jax.eval_shape(
+        fused_conv3x3,
+        jax.ShapeDtypeStruct((1, 16, 16, 8), jnp.float32),
+        jax.ShapeDtypeStruct((3, 3, 8, 8), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+    )
+    assert engagement.counters()["fused_conv3x3"]["engaged"] == 1

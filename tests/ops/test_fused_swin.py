@@ -45,24 +45,6 @@ def test_fused_swinir_forward_matches_linen(size):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("size", [(16, 16), (24, 32)])
-def test_packed_attention_forward_matches_linen(size):
-    """Kernel v3 (packed block-diagonal attention) against the linen path."""
-    import jax
-
-    from studiosr_tpu.serving import swinir_fast_forward
-
-    model = SwinIR.build(scale=2, **SMALL)
-    x = np.random.default_rng(2).standard_normal((1, *size, 3), dtype=np.float32)
-    want = np.asarray(model(x))
-    got = np.asarray(
-        jax.jit(
-            lambda v, i: swinir_fast_forward(v, i, model.config, interpret=True, use_fused_attn="packed")
-        )(model.variables, x)
-    )
-    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
-
-
 def test_fused_inference_uint8_contract():
     """model.inference through the fused path matches the linen path at the
     uint8 output level (round/clip parity)."""
