@@ -62,16 +62,57 @@ def _col_pad(x, halo):
     return jnp.concatenate([z, x, z], axis=1)
 
 
-def _conv9(x, w_ref, b, oh, ow):
+def _conv9(x, w_ref, b, oh, ow, dx0=0):
+    # Alignment discipline (measured, v5e): a dot whose lhs free width is not
+    # a sublane multiple (e.g. 258) forces a relayout of the WHOLE operand at
+    # EVERY tap (~96 us/tap at (12,258,180) — the round-3 CAB dissection), so
+    # ``ow`` must be a multiple of 8; callers run intermediate stages at
+    # padded widths and mask the junk columns. The dx column shifts are also
+    # hoisted out of the tap loop: at most 3 slice copies once per conv
+    # (offset-misaligned ones relayout), with dy row slices riding the
+    # untiled axis free.
+    cols = [x[:, dx0 + dx : dx0 + dx + ow, :] for dx in range(3)]
     acc = None
     for dy in range(3):
         for dx in range(3):
             t = jax.lax.dot_general(
-                x[dy : dy + oh, dx : dx + ow, :], w_ref[dy, dx],
+                cols[dx][dy : dy + oh], w_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = t if acc is None else acc + t
+    return acc + b.astype(jnp.float32)
+
+
+def _stack_weights(w, cpad: int):
+    """(3, 3, C, Cout) -> (3, 3*cpad, Cout): per-dx weights with the three dy
+    taps stacked along a lane-padded K axis (see _conv3_stacked)."""
+    c, cout = w.shape[2], w.shape[3]
+    wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - c), (0, 0)))
+    # (dx, dy*cpad + c, cout)
+    return wp.transpose(1, 0, 2, 3).reshape(3, 3 * cpad, cout)
+
+
+def _conv3_stacked(x, w3_ref, b, oh, ow, dx0, cpad):
+    """3x3 conv as THREE dots (one per dx) instead of nine: the dy taps ride
+    a lane-stacked K axis. Per-dot overhead measured ~27 us on v5e even for
+    aligned operands (round-3 CAB dissection), so 3 big dots beat 9 small.
+
+    x: (rows, W', C) with C <= cpad (lane-padded inside); the three dy
+    row-shifts are untiled-axis slices (free) and the lane concat is at
+    cpad-multiples (128-aligned, Mosaic-legal). ``ow`` must be 8-aligned."""
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, cpad - c))) if cpad != c else x
+    acc = None
+    for dx in range(3):
+        col = xp[:, dx0 + dx : dx0 + dx + ow, :]
+        lhs = jnp.concatenate([col[dy : dy + oh] for dy in range(3)], axis=-1)
+        t = jax.lax.dot_general(
+            lhs, w3_ref[dx],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
     return acc + b.astype(jnp.float32)
 
 
@@ -93,20 +134,21 @@ def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref
 
     i = pl.program_id(1)
     t = cur_ref.shape[1]
+    w_img = cur_ref.shape[2]
     x = _assemble_band(prev_ref, cur_ref, next_ref, i, pl.num_programs(1), 2)
-    xp = _col_pad(x, 2)  # (t+4, W+4, C)
-    h1 = jnp.maximum(_conv9(xp, w1_ref, b1_ref[0], t + 2, xp.shape[1] - 2), 0.0)
-    # h1 columns carry a 1-px halo; rows likewise. Out-of-image h1 values
-    # must be zero for conv2's zero padding (cols are exact already; rows
-    # need masking only at the image border, handled by _assemble_band's
-    # zeroed 2-row halo making conv1 output 0... relu(b1) may be nonzero, so
-    # mask explicitly).
+    xp = _col_pad(x, 8)  # (t+4, W+16, C): 8-col zero pads keep every stage's
+    # dot width a sublane multiple (see _conv9 alignment discipline).
+    # h1 cols [-4, W+4): xp index c+8 is image col c.
+    h1 = jnp.maximum(_conv9(xp, w1_ref, b1_ref[0], t + 2, w_img + 8, dx0=3), 0.0)
+    # Out-of-image h1 values must be zero for conv2's zero padding
+    # (relu(b1) may be nonzero at the zero-padded borders — mask explicitly).
     rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
     ok_r = (rg >= 0) & (rg < pl.num_programs(1) * t)
-    cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 1
-    ok_c = (cg >= 0) & (cg < h1.shape[1] - 2)
+    cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 4
+    ok_c = (cg >= 0) & (cg < w_img)
     h1 = jnp.where(ok_r & ok_c, h1, jnp.zeros_like(h1)).astype(cur_ref.dtype)
-    y = _conv9(h1, w2_ref, b2_ref[0], t, h1.shape[1] - 2)
+    # y cols [0, W): h1 index c+4 is image col c.
+    y = _conv9(h1, w2_ref, b2_ref[0], t, w_img, dx0=3)
     out_ref[0] = (cur_ref[0].astype(jnp.float32) + res_scale * y).astype(out_ref.dtype)
 
 
@@ -203,10 +245,13 @@ def fused_resblock(
 
 
 def _cab_kernel(prev_ref, cur_ref, next_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, psum_ref, *, res_scale):
+                out_ref, psum_ref, *, res_scale, ablate=frozenset()):
     """HAT CAB body: y2 = conv2(gelu(conv1(LN(x)))) on a row band, plus the
     per-band channel sums of y2 (the caller finishes the global-mean channel
-    attention gate in XLA — it needs all bands)."""
+    attention gate in XLA — it needs all bands).
+
+    ``ablate`` (timing-only, wrong math): subsets of {"ln", "conv1", "gelu",
+    "conv2", "mask"} skip that stage (scripts/exp_cab_micro.py dissection)."""
     from jax.experimental import pallas as pl
 
     from studiosr_tpu.ops.pallas.swin_block import _erf, _layernorm
@@ -214,30 +259,60 @@ def _cab_kernel(prev_ref, cur_ref, next_ref, s_ref, b_ref, w1_ref, b1_ref, w2_re
     i = pl.program_id(1)
     t = cur_ref.shape[1]
     x = _assemble_band(prev_ref, cur_ref, next_ref, i, pl.num_programs(1), 2)
-    ln = _layernorm(
-        x.astype(jnp.float32), s_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32)
-    ).astype(cur_ref.dtype)
+    if "ln" in ablate:
+        ln = x
+    else:
+        ln = _layernorm(
+            x.astype(jnp.float32), s_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32)
+        ).astype(cur_ref.dtype)
     # Re-zero the out-of-image halo rows (LN of zeros is bias-shifted, the
     # true chain's conv padding is zero AFTER LN).
-    rg0 = jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0) + i * t - 2
-    ln = jnp.where((rg0 >= 0) & (rg0 < pl.num_programs(1) * t), ln, jnp.zeros_like(ln))
-    lnp = _col_pad(ln, 2)  # (t+4, W+4, C)
+    if "mask" not in ablate:
+        rg0 = jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0) + i * t - 2
+        ln = jnp.where((rg0 >= 0) & (rg0 < pl.num_programs(1) * t), ln, jnp.zeros_like(ln))
+    w_img = cur_ref.shape[2]
+    lnp = _col_pad(ln, 8)  # (t+4, W+16, C): aligned-width stages, see _conv9
+    cp1 = w1_ref.shape[1] // 3
+    cp2 = w2_ref.shape[1] // 3
 
-    h1 = _conv9(lnp, w1_ref, b1_ref[0], t + 2, lnp.shape[1] - 2)
-    h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
-    rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
-    ok_r = (rg >= 0) & (rg < pl.num_programs(1) * t)
-    cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 1
-    ok_c = (cg >= 0) & (cg < h1.shape[1] - 2)
-    h1 = jnp.where(ok_r & ok_c, h1, jnp.zeros_like(h1)).astype(cur_ref.dtype)
-    y2 = _conv9(h1, w2_ref, b2_ref[0], t, h1.shape[1] - 2) * res_scale
+    if "conv1" in ablate:
+        # keep shapes: single-tap projection instead of the 3-dot conv
+        h1 = jax.lax.dot_general(
+            jnp.pad(lnp[1 : t + 3, 4 : 4 + w_img + 8, :], ((0, 0), (0, 0), (0, cp1 - lnp.shape[-1]))),
+            w1_ref[1, cp1 : 2 * cp1],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # h1 cols [-4, W+4): lnp index c+8 is image col c.
+        h1 = _conv3_stacked(lnp, w1_ref, b1_ref[0], t + 2, w_img + 8, 3, cp1)
+    if "gelu" not in ablate:
+        h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
+    if "mask" not in ablate:
+        rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
+        ok_r = (rg >= 0) & (rg < pl.num_programs(1) * t)
+        cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 4
+        ok_c = (cg >= 0) & (cg < w_img)
+        h1 = jnp.where(ok_r & ok_c, h1, jnp.zeros_like(h1)).astype(cur_ref.dtype)
+    else:
+        h1 = h1.astype(cur_ref.dtype)
+    if "conv2" in ablate:
+        y2 = jax.lax.dot_general(
+            jnp.pad(h1[1 : t + 1, 4 : 4 + w_img, :], ((0, 0), (0, 0), (0, cp2 - h1.shape[-1]))),
+            w2_ref[1, cp2 : 2 * cp2],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * res_scale
+    else:
+        # y2 cols [0, W): h1 index c+4 is image col c.
+        y2 = _conv3_stacked(h1, w2_ref, b2_ref[0], t, w_img, 3, cp2) * res_scale
     out_ref[0] = y2.astype(out_ref.dtype)
     # (8, C) broadcast: Pallas requires the last-two block dims be
     # (8k, lanes); row 0 is read back outside.
     psum_ref[0] = jnp.broadcast_to(jnp.sum(y2, axis=(0, 1))[None], (8, y2.shape[-1]))
 
 
-@functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret", "ablate"))
 def fused_cab_body(
     x: jnp.ndarray,  # (B, H, W, C) — the block input (pre-LN)
     ln_scale, ln_bias,
@@ -247,6 +322,7 @@ def fused_cab_body(
     band: int = 4,  # 8 VMEM-OOMs at C=180 (the nine shifted conv slices
     # each materialize a relayout copy; 23.4M scoped > 16M)
     interpret: bool = False,
+    ablate: frozenset = frozenset(),  # timing-only stage skips
 ):
     """One-pass HAT CAB trunk (``studiosr/models/hat.py`` CAB): returns
     (y2, channel_sums) with y2 = res_scale * conv2(gelu(conv1(LN(x)))) and
@@ -264,12 +340,16 @@ def fused_cab_body(
         t //= 2
     grid = (bsz, hgt // t)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_cab_kernel, res_scale=res_scale)
+    kernel = functools.partial(_cab_kernel, res_scale=res_scale, ablate=ablate)
+    cp1 = ((c + 127) // 128) * 128
+    cp2 = ((cm + 127) // 128) * 128
+    w1s = _stack_weights(w1, cp1).astype(x.dtype)  # (3, 3*cp1, cm)
+    w2s = _stack_weights(w2, cp2).astype(x.dtype)  # (3, 3*cp2, c)
     y2, psums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=_band_specs(bsz, hgt, wdt, c, t, 2)
-        + [full(1, c), full(1, c), full(3, 3, c, cm), full(1, cm), full(3, 3, cm, c), full(1, c)],
+        + [full(1, c), full(1, c), full(3, 3 * cp1, cm), full(1, cm), full(3, 3 * cp2, c), full(1, c)],
         out_specs=(
             pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
@@ -283,6 +363,6 @@ def fused_cab_body(
         ),
         interpret=interpret,
     )(x, x, x, ln_scale.reshape(1, c), ln_bias.reshape(1, c),
-      w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
-      w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+      w1s, b1.reshape(1, -1).astype(jnp.float32),
+      w2s, b2.reshape(1, -1).astype(jnp.float32))
     return y2, jnp.sum(psums.reshape(bsz, hgt // t, 8, c)[:, :, 0], axis=1)

@@ -77,3 +77,74 @@ def test_pretrained_tiled_matches_whole_image():
     diff = np.abs(whole.astype(int) - tiled.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+SWINIR_CKPT = os.path.join(FIXTURES, "swinir_ckpt")
+
+swinir_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SWINIR_CKPT, "best.model.ckpt")),
+    reason="swinir quality fixture not generated",
+)
+
+
+def _load_swinir():
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.zoo.registry import load_model
+
+    model = load_model(SWINIR_CKPT, "swinir", tag="best")
+    pairs = []
+    for i in range(3):
+        hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+        lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
+        pairs.append((lr, hr))
+    return model, pairs
+
+
+@swinir_fixture
+def test_swinir_trained_fused_paths_quality():
+    """Trained-weights PSNR floors through the configurations actually
+    benched (VERDICT round-2 item 3): plain f32, fused f32, fused bf16 —
+    the fused path on trained weights must beat bicubic and stay within a
+    small delta of the plain path."""
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    model, pairs = _load_swinir()
+    deltas_fused, deltas_bf16 = [], []
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+        model.enable_fused(True)
+        fused = compute_psnr(model.inference(lr), hr)
+        model.enable_fused(False)
+        # fused f32 runs the same math in Pallas kernels (interpret mode on
+        # CPU): parity to a small tolerance on trained weights.
+        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
+        deltas_fused.append(fused - plain)
+
+        model.half().enable_fused(True)
+        bf16 = compute_psnr(model.inference(lr), hr)
+        # bf16 carries quantization noise; it must still clearly beat
+        # bicubic and stay within ~0.5 dB of the f32 path.
+        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
+        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
+        deltas_bf16.append(bf16 - plain)
+        # restore f32 weights for the next image
+        model, _ = _load_swinir()
+
+
+@swinir_fixture
+def test_swinir_trained_tiled_fused_matches_whole():
+    """Tiled fused inference holds quality: overlap-discard tiling is
+    approximate for window attention (the receptive field spans tiles), so
+    assert PSNR-level equivalence rather than pixel equality."""
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    model, pairs = _load_swinir()
+    model.enable_fused(True)
+    lr, hr = pairs[1]
+    psnr_whole = compute_psnr(model.inference(lr), hr)
+    tiled = model.inference_tiled(lr, tile=24, tile_overlap=8, tile_batch=4)
+    psnr_tiled = compute_psnr(tiled, hr)
+    assert psnr_tiled > psnr_whole - 0.5, f"tiled {psnr_tiled:.2f} vs whole {psnr_whole:.2f}"
