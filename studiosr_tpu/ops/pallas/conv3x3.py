@@ -121,9 +121,11 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, *, activati
 
     i = pl.program_id(1)
     t = cur_ref.shape[1]
+    w_img = cur_ref.shape[2]
+    cp = w_ref.shape[1] // 3
     x = _assemble_band(prev_ref, cur_ref, next_ref, i, pl.num_programs(1), 1)
     xp = _col_pad(x, 1)
-    y = _act(_conv9(xp, w_ref, b_ref[0], t, xp.shape[1] - 2), activation)
+    y = _act(_conv3_stacked(xp, w_ref, b_ref[0], t, w_img, 0, cp), activation)
     if residual:
         y = y + cur_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -135,11 +137,13 @@ def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref
     i = pl.program_id(1)
     t = cur_ref.shape[1]
     w_img = cur_ref.shape[2]
+    cp1 = w1_ref.shape[1] // 3
+    cp2 = w2_ref.shape[1] // 3
     x = _assemble_band(prev_ref, cur_ref, next_ref, i, pl.num_programs(1), 2)
     xp = _col_pad(x, 8)  # (t+4, W+16, C): 8-col zero pads keep every stage's
     # dot width a sublane multiple (see _conv9 alignment discipline).
     # h1 cols [-4, W+4): xp index c+8 is image col c.
-    h1 = jnp.maximum(_conv9(xp, w1_ref, b1_ref[0], t + 2, w_img + 8, dx0=3), 0.0)
+    h1 = jnp.maximum(_conv3_stacked(xp, w1_ref, b1_ref[0], t + 2, w_img + 8, 3, cp1), 0.0)
     # Out-of-image h1 values must be zero for conv2's zero padding
     # (relu(b1) may be nonzero at the zero-padded borders — mask explicitly).
     rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
@@ -148,7 +152,7 @@ def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref
     ok_c = (cg >= 0) & (cg < w_img)
     h1 = jnp.where(ok_r & ok_c, h1, jnp.zeros_like(h1)).astype(cur_ref.dtype)
     # y cols [0, W): h1 index c+4 is image col c.
-    y = _conv9(h1, w2_ref, b2_ref[0], t, w_img, dx0=3)
+    y = _conv3_stacked(h1, w2_ref, b2_ref[0], t, w_img, 3, cp2)
     out_ref[0] = (cur_ref[0].astype(jnp.float32) + res_scale * y).astype(out_ref.dtype)
 
 
@@ -196,19 +200,21 @@ def fused_conv3x3(
     cout = w.shape[-1]
     t = _row_band(hgt)
     grid = (bsz, hgt // t)
+    cp = ((cin + 127) // 128) * 128
+    ws3 = _stack_weights(w, cp).astype(x.dtype)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     kernel = functools.partial(_conv_kernel, activation=activation, residual=residual)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_band_specs(bsz, hgt, wdt, cin, t, 1) + [full(3, 3, cin, cout), full(1, cout)],
+        in_specs=_band_specs(bsz, hgt, wdt, cin, t, 1) + [full(3, 3 * cp, cout), full(1, cout)],
         out_specs=pl.BlockSpec((1, t, wdt, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hgt, wdt, cout), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(x, x, x, w.astype(x.dtype), b.reshape(1, -1).astype(jnp.float32))
+    )(x, x, x, ws3, b.reshape(1, -1).astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret"))
@@ -229,19 +235,22 @@ def fused_resblock(
     grid = (bsz, hgt // t)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     kernel = functools.partial(_resblock_kernel, res_scale=res_scale)
+    cp = ((c + 127) // 128) * 128
+    w1s = _stack_weights(w1, cp).astype(x.dtype)
+    w2s = _stack_weights(w2, cp).astype(x.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=_band_specs(bsz, hgt, wdt, c, t, 2)
-        + [full(3, 3, c, c), full(1, c), full(3, 3, c, c), full(1, c)],
+        + [full(3, 3 * cp, c), full(1, c), full(3, 3 * cp, c), full(1, c)],
         out_specs=pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(x, x, x, w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
-      w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+    )(x, x, x, w1s, b1.reshape(1, -1).astype(jnp.float32),
+      w2s, b2.reshape(1, -1).astype(jnp.float32))
 
 
 def _cab_kernel(prev_ref, cur_ref, next_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_upsample_x4"]
+__all__ = ["fused_upsample_x4", "fused_upsample_s"]
 
 
 def _quadrant_perm(cb: int) -> np.ndarray:
@@ -61,47 +61,6 @@ def _fine_to_coarse(pos: int, r: int):
     return pos // r, pos % r
 
 
-def _stage2_plan(a2: int, b2: int):
-    """For output 2H-quadrant (a2,b2): the nine (dy,dx) taps -> which c0
-    quadrant (a',b') at which coarse shift (Dy,Dx)."""
-    plan = []
-    for dy in range(3):
-        for dx in range(3):
-            Dy, ap = _fine_to_coarse(a2 + dy - 1, 2)
-            Dx, bp = _fine_to_coarse(b2 + dx - 1, 2)
-            plan.append((dy, dx, Dy, Dx, ap, bp))
-    return plan
-
-
-# The (sub-plane, coarse shift) pairs a 3x3 conv at 4H actually touches per
-# axis: fine offsets -1..4 -> (quadrant, shift) with shift in {-1,0,1} only
-# at the extremes.
-_S3_AXIS = [(0, 0), (1, 0), (2, 0), (3, 0), (3, -1), (0, 1)]
-_S3_INDEX = {pair: k for k, pair in enumerate(_S3_AXIS)}
-
-
-def _stage3_weight(w2, cin: int, n_colors: int):
-    """(36, cin, 16*n_colors) per-(sub-plane, shift)-pair conv_last weights.
-
-    Block order: (row pair index)*6 + (col pair index) over _S3_AXIS.
-    Output channels: (r, s, c) packed. Entry nonzero iff fine tap (dy,dx) of
-    output subpixel (r,s) lands on that (sub-plane, coarse shift) pair."""
-    cb = cin
-    na = len(_S3_AXIS)
-    big = jnp.zeros((na * na, cb, 16 * n_colors), jnp.float32)
-    for r in range(4):
-        for s in range(4):
-            for dy in range(3):
-                for dx in range(3):
-                    Dy, rp = _fine_to_coarse(r + dy - 1, 4)
-                    Dx, sp = _fine_to_coarse(s + dx - 1, 4)
-                    blk = _S3_INDEX[(rp, Dy)] * na + _S3_INDEX[(sp, Dx)]
-                    big = big.at[
-                        blk, :, (r * 4 + s) * n_colors : (r * 4 + s + 1) * n_colors
-                    ].add(w2[dy, dx].astype(jnp.float32))
-    return big
-
-
 def _edge_zero(arr, row_start, col_start, row_limit, col_limit):
     """Zero rows/cols whose global coordinate falls outside [0, limit): the
     true chain zero-pads at EVERY resolution, so conv outputs at virtual
@@ -113,10 +72,27 @@ def _edge_zero(arr, row_start, col_start, row_limit, col_limit):
     return jnp.where(ok, arr, jnp.zeros_like(arr))
 
 
+# stage-3 (array index, coarse shift) combos per axis: fine 2H position
+# p = (4H pos + tap - 1) // 2 in {-1..2} -> (array a2 = p & 1, shift = p >> 1).
+_AX3 = [(1, -1), (0, 0), (1, 0), (0, 1)]
+
+
+def _dy_pair(a2: int):
+    """Stage-2 coarse row/col shifts reachable for output 2H-quadrant a2."""
+    return (-1, 0) if a2 == 0 else (0, 1)
+
+
 def _tail_kernel(
-    x_hbm, w0_ref, b0_ref, w1s_ref, b1_ref, w3_ref, b3_ref, out_ref,
+    x_hbm, w0s_ref, b0_ref, w1g_ref, b1_ref, w3g_ref, b3_ref, out_ref,
     *, tile, cin, n_colors, hw,
 ):
+    """Alignment discipline (round-3, see conv3x3._conv9): every dot's lhs
+    free width is a multiple of 8 — stages run at padded widths t+16/t+8/t
+    over a column-zero-extended input, junk columns never feed a valid
+    output. Dots are grouped: stage 1 = 3 lane-stacked dy dots, stage 2 =
+    2 dots per quadrant (Dy pair stacked on K), stage 3 = 16 dots over the
+    hoisted (array, col-shift) slices. Old form: 9 + 36 + 36 dots on
+    misaligned operands (relayout per dot); measured 5.97 ms -> this."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -126,60 +102,70 @@ def _tail_kernel(
     j = pl.program_id(1)
 
     cpad = max(cin, 128)
+    c4 = 4 * cin
 
     def body(xs, sem):
         # DMA slices must be 8-aligned on spatial dims and 128-aligned on
         # the channel dim (Mosaic tiling): read t+8 rows/cols of the
-        # (3,5)-padded, channel-padded input; use (t+6, t+6, cin).
+        # (3,5)-padded, channel-padded input.
         dma = pltpu.make_async_copy(
             x_hbm.at[0, pl.ds(i * t, t + 8), pl.ds(j * t, t + 8), :], xs, sem
         )
         dma.start()
         dma.wait()
-        x = xs[: t + 6, : t + 6, :cin]  # global rows [i*t-3, i*t+t+3)
+        x = xs[...]  # rows [i*t-3, i*t+t+5), cols [j*t-3, j*t+t+5), cpad ch
+        zc = jnp.zeros((t + 8, 8, cpad), x.dtype)
+        xz = jnp.concatenate([zc, x, zc], axis=1)  # col v <-> img j*t-11+v
 
-        # c0 = conv3x3(x): (t+4, t+4, 4cin), global rows [i*t-2, i*t+t+2).
+        # stage 1: c0 (t+4, t+16, 4cin); rows [i*t-2, ...), cols [j*t-10, ...)
         acc = None
-        for dy in range(3):
-            for dx in range(3):
-                d = jax.lax.dot_general(
-                    x[dy : dy + t + 4, dx : dx + t + 4, :], w0_ref[dy, dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = d if acc is None else acc + d
+        for dx in range(3):
+            col = xz[:, dx : dx + t + 16, :]
+            lhs = jnp.concatenate([col[dy : dy + t + 4] for dy in range(3)], axis=-1)
+            d = jax.lax.dot_general(
+                lhs, w0s_ref[dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
         c0 = (acc + b0_ref[0].astype(jnp.float32)).astype(x.dtype)
-        c0 = _edge_zero(c0, i * t - 2, j * t - 2, h_img, w_img)
+        c0 = _edge_zero(c0, i * t - 2, j * t - 10, h_img, w_img)
 
-        # stage 2: out2[a2,b2] (t+2, t+2, 4cin), coarse rows [i*t-1, i*t+t+1).
-        out2 = []
+        # stage 2: out2[(a2,b2)] (t+2, t+8, 4cin); rows [i*t-1), cols [j*t-4).
+        # Hoisted col slices (the only misaligned copies); Dy rides the
+        # untiled row axis free, stacked in pairs along K.
+        sl = {dxs: c0[:, 6 + dxs : 6 + dxs + t + 8, :] for dxs in (-1, 0, 1)}
+        out2 = {}
         for a2 in range(2):
+            dys = _dy_pair(a2)
             for b2 in range(2):
                 o = None
-                for k, (dy, dx, Dy, Dx, ap, bp) in enumerate(_stage2_plan(a2, b2)):
-                    q = (2 * ap + bp) * cin
+                for ds, dxs in enumerate(_dy_pair(b2)):
+                    lhs = jnp.concatenate(
+                        [sl[dxs][1 + dy : 1 + dy + t + 2] for dy in dys], axis=-1
+                    )  # (t+2, t+8, 2*4cin)
                     d = jax.lax.dot_general(
-                        c0[1 + Dy : 1 + Dy + t + 2, 1 + Dx : 1 + Dx + t + 2, q : q + cin],
-                        w1s_ref[3 * dy + dx],
+                        lhs, w1g_ref[2 * (2 * a2 + b2) + ds],
                         dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     o = d if o is None else o + d
                 o = (o + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
                 # fine row 2*coarse+a2 is in-image iff coarse is in [0, h_img)
-                o = _edge_zero(o, i * t - 1, j * t - 1, h_img, w_img)
-                out2.append(o)
+                out2[(a2, b2)] = _edge_zero(o, i * t - 1, j * t - 4, h_img, w_img)
 
-        # stage 3: accumulate one dot per used (sub-plane, coarse shift) pair.
-        na = len(_S3_AXIS)
+        # stage 3: 16 dots over (y-combo, x-combo); col slices hoisted per
+        # (array, Dx), row shifts free.
+        sl3 = {}
+        for (ay, ax), o2 in [(k, v) for k, v in out2.items()]:
+            for _, dxs in [(a, d) for (a, d) in _AX3 if a == ax]:
+                sl3[(ay, ax, dxs)] = o2[:, 4 + dxs : 4 + dxs + t, :]
         o3 = None
-        for ri, (rp, Dy) in enumerate(_S3_AXIS):
-            for ci, (sp, Dx) in enumerate(_S3_AXIS):
-                o2 = out2[(rp // 2) * 2 + (sp // 2)]
-                lane = ((rp % 2) * 2 + (sp % 2)) * cin
+        for iy, (ay, dys) in enumerate(_AX3):
+            for ix, (ax, dxs) in enumerate(_AX3):
                 d = jax.lax.dot_general(
-                    o2[1 + Dy : 1 + Dy + t, 1 + Dx : 1 + Dx + t, lane : lane + cin],
-                    w3_ref[ri * na + ci],
+                    sl3[(ay, ax, dxs)][1 + dys : 1 + dys + t],
+                    w3g_ref[4 * iy + ix],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -230,20 +216,55 @@ def fused_upsample_x4(
     engagement.engaged("fused_upsample_x4")
 
     perm = _quadrant_perm(cin)
+    cpad = max(cin, 128)
+    c4 = 4 * cin
     w0p = w0[..., perm]
     b0p = b0[perm].reshape(1, -1)
     w1p = w1[..., perm]  # outputs quadrant-contiguous for stage-3 lane slicing
     b1q = b1[perm].reshape(1, -1)
 
-    # Stage-2 weights indexed (3*dy + dx); the output-quadrant dependence
-    # lives entirely in WHICH c0 slice feeds each tap (the plan).
-    w1s = w1p.reshape(9, cin, 4 * cin)
+    # Stage-1 weights: dy taps lane-stacked per dx (3 dots in-kernel).
+    w0sp = jnp.pad(w0p.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
+    w0s = w0sp.transpose(1, 0, 2, 3).reshape(3, 3 * cpad, c4)
 
-    # Stage-3 sparse-dense weight + packed bias.
-    w3 = _stage3_weight(w2, cin, n_colors)
+    # Stage-2 grouped weights: per output quadrant (a2,b2) and col-shift
+    # slot ds, the two row shifts of the quadrant's Dy pair ride a stacked
+    # K axis; each tap's input-quadrant choice is embedded as the K block.
+    w1g = jnp.zeros((8, 2 * c4, c4), jnp.float32)
+    for qa in range(2):
+        dys = _dy_pair(qa)
+        for qb in range(2):
+            dxs_pair = _dy_pair(qb)
+            for dy in range(3):
+                for dx in range(3):
+                    Dy, ap = _fine_to_coarse(qa + dy - 1, 2)
+                    Dx, bp = _fine_to_coarse(qb + dx - 1, 2)
+                    ds = dxs_pair.index(Dx)
+                    row = dys.index(Dy) * c4 + (2 * ap + bp) * cin
+                    w1g = w1g.at[
+                        2 * (2 * qa + qb) + ds, row : row + cin, :
+                    ].add(w1p[dy, dx].astype(jnp.float32))
+
+    # Stage-3 grouped weights: per (y-combo, x-combo) of _AX3, the
+    # sub-quadrant lane selection is embedded as the K block.
+    w3g = jnp.zeros((16, c4, 16 * n_colors), jnp.float32)
+    ax_index = {pair: k for k, pair in enumerate(_AX3)}
+    for r in range(4):
+        for s in range(4):
+            for dy in range(3):
+                for dx in range(3):
+                    py, px = r + dy - 1, s + dx - 1
+                    qy, qx = py // 2, px // 2  # fine-2H index -> (array, shift)
+                    iy = ax_index[(qy % 2, qy // 2)]
+                    ix = ax_index[(qx % 2, qx // 2)]
+                    row = (2 * (py % 2) + (px % 2)) * cin
+                    w3g = w3g.at[
+                        4 * iy + ix, row : row + cin,
+                        (r * 4 + s) * n_colors : (r * 4 + s + 1) * n_colors,
+                    ].add(w2[dy, dx].astype(jnp.float32))
     b3 = jnp.tile(b2.reshape(1, -1).astype(jnp.float32), (1, 16))
 
-    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, max(cin, 128) - cin)))
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, cpad - cin)))
     grid = (h // tile, w // tile)
     kernel = functools.partial(_tail_kernel, tile=tile, cin=cin, n_colors=n_colors, hw=(h, w))
     full = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -252,23 +273,200 @@ def fused_upsample_x4(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # manual halo DMA
-            full(3, 3, cin, 4 * cin), full(1, 4 * cin),
-            full(9, cin, 4 * cin), full(1, 4 * cin),
-            full(36, cin, 16 * n_colors), full(1, 16 * n_colors),
+            full(3, 3 * cpad, c4), full(1, c4),
+            full(8, 2 * c4, c4), full(1, c4),
+            full(16, c4, 16 * n_colors), full(1, 16 * n_colors),
         ],
         out_specs=pl.BlockSpec((1, tile, tile, 16 * n_colors), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, 16 * n_colors), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
         xp,
-        w0p.astype(x.dtype), b0p.astype(jnp.float32),
-        w1s.astype(x.dtype), b1q.astype(jnp.float32),
-        w3.astype(x.dtype), b3,
+        w0s.astype(x.dtype), b0p.astype(jnp.float32),
+        w1g.astype(x.dtype), b1q.astype(jnp.float32),
+        w3g.astype(x.dtype), b3,
     )
     # depth-to-space of the (r, s, c) packing.
     packed = packed.reshape(1, h, w, 4, 4, n_colors)
     packed = packed.transpose(0, 1, 3, 2, 4, 5)
     return packed.reshape(1, 4 * h, 4 * w, n_colors)
+
+
+# ---------------------------------------------------------------------------
+# Single-shuffle tails (x2 / x3 classical): conv3x3 -> pixel_shuffle(s) ->
+# conv_last, in one HBM pass, same aligned-planar discipline as the x4
+# kernel. Reference ladder: studiosr/models/common.py:124-137 (x2 uses one
+# log2 step, x3 the single s^2 shuffle) + conv_last (swinir.py:363-366).
+# ---------------------------------------------------------------------------
+
+
+def _perm_s(cb: int, s: int) -> np.ndarray:
+    """Torch pixel-shuffle channels (k*s^2 + a*s + b) -> quadrant-contiguous
+    lanes ((s*a+b)*cb + k)."""
+    perm = np.empty(cb * s * s, np.int64)
+    for a in range(s):
+        for b in range(s):
+            for k in range(cb):
+                perm[(s * a + b) * cb + k] = k * s * s + a * s + b
+    return perm
+
+
+def _ax_s(s: int):
+    """(sub-plane, coarse shift) combos per axis for a 3x3 conv at sH:
+    fine positions r+dy-1 in [-1, s] -> (p % s, p // s)."""
+    seen = []
+    for p in range(-1, s + 1):
+        pair = (p % s, p // s)
+        if pair not in seen:
+            seen.append(pair)
+    return seen
+
+
+def _tail_kernel_s(
+    x_hbm, w0s_ref, b0_ref, wg_ref, bg_ref, out_ref, *, tile, cin, n_colors, hw, s,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = tile
+    h_img, w_img = hw
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cpad = max(cin, 128)
+    ax = _ax_s(s)
+
+    def body(xs, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(i * t, t + 8), pl.ds(j * t, t + 8), :], xs, sem
+        )
+        dma.start()
+        dma.wait()
+        x = xs[...]  # rows [i*t-3, i*t+t+5), cols [j*t-3, j*t+t+5)
+        zc = jnp.zeros((t + 8, 8, cpad), x.dtype)
+        xz = jnp.concatenate([zc, x, zc], axis=1)  # col v <-> img j*t-11+v
+
+        # c0 (t+2, t+8, s^2*cin): rows [i*t-1, ...), cols [j*t-4, ...).
+        acc = None
+        for dx in range(3):
+            col = xz[:, 6 + dx : 6 + dx + t + 8, :]
+            lhs = jnp.concatenate([col[1 + dy : 1 + dy + t + 2] for dy in range(3)], axis=-1)
+            d = jax.lax.dot_general(
+                lhs, w0s_ref[dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        c0 = (acc + b0_ref[0].astype(jnp.float32)).astype(x.dtype)
+        c0 = _edge_zero(c0, i * t - 1, j * t - 4, h_img, w_img)
+
+        # conv_last at sH: one dot per (y-combo, x-combo); col slices hoisted
+        # per Dx, row shifts free.
+        sl = {dxs: c0[:, 4 + dxs : 4 + dxs + t, :] for dxs in {d for _, d in ax}}
+        o = None
+        for iy, (_, dys) in enumerate(ax):
+            for ix, (_, dxs) in enumerate(ax):
+                d = jax.lax.dot_general(
+                    sl[dxs][1 + dys : 1 + dys + t],
+                    wg_ref[len(ax) * iy + ix],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o = d if o is None else o + d
+        o = o + bg_ref[0].astype(jnp.float32)
+        out_ref[0] = o.astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        xs=pltpu.VMEM((t + 8, t + 8, max(cin, 128)), out_ref.dtype),
+        sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s", "interpret"))
+def fused_upsample_s(
+    x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
+    w0, b0,  # (3,3,cin,s^2*cin) conv before the shuffle
+    w2, b2,  # (3,3,cin,n_colors) conv_last
+    s: int = 2,
+    interpret: bool = False,
+):
+    """Single-shuffle tail (x2/x3 classical) in one pass. Returns
+    (1, sH, sW, n_colors) or ``None`` on layout mismatch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    n, h, w, cin = x.shape
+    n_colors = w2.shape[-1]
+    tile = _pick_tile(h, w)
+    if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
+        return engagement.fallback(
+            "fused_upsample_s",
+            f"layout mismatch: shape {x.shape}, tile={tile}, "
+            f"w0 out {w0.shape[-1]} vs {s * s * cin}",
+        )
+    engagement.engaged("fused_upsample_s")
+
+    perm = _perm_s(cin, s)
+    cpad = max(cin, 128)
+    cs = s * s * cin
+    w0p = w0[..., perm]
+    b0p = b0[perm].reshape(1, -1)
+    w0sp = jnp.pad(w0p.astype(jnp.float32), ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
+    w0s = w0sp.transpose(1, 0, 2, 3).reshape(3, 3 * cpad, cs)
+
+    ax = _ax_s(s)
+    na = len(ax)
+    ax_index = {pair: k for k, pair in enumerate(ax)}
+    wg = jnp.zeros((na * na, cs, s * s * n_colors), jnp.float32)
+    for r in range(s):
+        for s_ in range(s):
+            for dy in range(3):
+                for dx in range(3):
+                    py, px = r + dy - 1, s_ + dx - 1
+                    iy = ax_index[(py % s, py // s)]
+                    ix = ax_index[(px % s, px // s)]
+                    row = (s * (py % s) + (px % s)) * cin
+                    wg = wg.at[
+                        na * iy + ix, row : row + cin,
+                        (r * s + s_) * n_colors : (r * s + s_ + 1) * n_colors,
+                    ].add(w2[dy, dx].astype(jnp.float32))
+    bg = jnp.tile(b2.reshape(1, -1).astype(jnp.float32), (1, s * s))
+
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, cpad - cin)))
+    grid = (h // tile, w // tile)
+    kernel = functools.partial(
+        _tail_kernel_s, tile=tile, cin=cin, n_colors=n_colors, hw=(h, w), s=s
+    )
+    full = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual halo DMA
+            full(3, 3 * cpad, cs), full(1, cs),
+            full(na * na, cs, s * s * n_colors), full(1, s * s * n_colors),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, s * s * n_colors), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, h, w, s * s * n_colors), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        w0s.astype(x.dtype), b0p.astype(jnp.float32),
+        wg.astype(x.dtype), bg,
+    )
+    # depth-to-space of the (r, s_, c) packing.
+    packed = packed.reshape(1, h, w, s, s, n_colors)
+    packed = packed.transpose(0, 1, 3, 2, 4, 5)
+    return packed.reshape(1, s * h, s * w, n_colors)

@@ -301,6 +301,18 @@ def hat_fast_forward(
         if fused_tail is not None:
             x = (fused_tail + mean) * img_range
             return x[:, : h0 * scale, : w0 * scale, :]
+    if scale in (2, 3) and "conv_last" in params:
+        from studiosr_tpu.ops.pallas.upsampler import fused_upsample_s
+
+        fused_tail = fused_upsample_s(
+            x,
+            up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
+            params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
+            s=scale, interpret=interpret,
+        )
+        if fused_tail is not None:
+            x = (fused_tail + mean) * img_range
+            return x[:, : h0 * scale, : w0 * scale, :]
     s, i = scale, 0
     while s > 1 and (s & (s - 1)) == 0:
         x = _conv(x, up[str(2 * i)])

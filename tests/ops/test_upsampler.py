@@ -49,3 +49,38 @@ def test_fused_upsample_x4_rejects_bad_shapes():
     w = jnp.zeros((3, 3, 8, 32), jnp.float32)
     w2 = jnp.zeros((3, 3, 8, 3), jnp.float32)
     assert fused_upsample_x4(x, w, jnp.zeros(32), w, jnp.zeros(32), w2, jnp.zeros(3)) is None
+
+
+def test_fused_upsample_s_matches_xla():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from studiosr_tpu.ops.pallas.upsampler import fused_upsample_s
+    from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    def conv(t, k, b):
+        return (
+            jax.lax.conv_general_dilated(
+                t, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b
+        )
+
+    rng = np.random.default_rng(1)
+    for s in (2, 3):
+        h = w = 16
+        cin, n_colors = 8, 3
+        x = jnp.asarray(rng.standard_normal((1, h, w, cin)), jnp.float32)
+        w0 = jnp.asarray(rng.standard_normal((3, 3, cin, s * s * cin)) * 0.1, jnp.float32)
+        b0 = jnp.asarray(rng.standard_normal(s * s * cin) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, cin, n_colors)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(n_colors) * 0.1, jnp.float32)
+
+        want = conv(x, w0, b0)
+        want = pixel_shuffle(want, s)
+        want = np.asarray(conv(want, w2, b2))
+
+        got = fused_upsample_s(x, w0, b0, w2, b2, s=s, interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
