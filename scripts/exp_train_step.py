@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--model", default="swinir", choices=["swinir", "hat"])
     parser.add_argument("--fwd-only", action="store_true", help="time the loss forward alone")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--crop", type=int, default=64)
@@ -31,14 +32,15 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.models import HAT, SwinIR
     from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
     from studiosr_tpu.utils.helpers import enable_compilation_cache
     from studiosr_tpu.utils.losses import l1_loss
 
     enable_compilation_cache()
 
-    model = SwinIR.build(scale=4, fast_init=True)
+    cls = {"swinir": SwinIR, "hat": HAT}[args.model]
+    model = cls.build(scale=4, fast_init=True)
     module = model.module.clone(fused_train=True) if args.fused else model.module
     mesh = get_mesh()
     tx = build_optimizer()
@@ -78,7 +80,7 @@ def main() -> None:
             state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, i))
         final = float(loss)
     dt = (time.perf_counter() - t0) / args.steps
-    tag = ("fwd-only " if args.fwd_only else "") + ("fused" if args.fused else "plain")
+    tag = args.model + " " + ("fwd-only " if args.fwd_only else "") + ("fused" if args.fused else "plain")
     print(f"{tag}: {dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})")
 
 

@@ -74,7 +74,15 @@ class CAB(nn.Module):
 
 class HAB(nn.Module):
     """Hybrid attention block: window MHA + 0.01-scaled CAB branch
-    (``hat.py:113-196``)."""
+    (``hat.py:113-196``).
+
+    ``fused_train=True`` routes the attention and MLP halves through the
+    custom-VJP fused blocks (same pattern as ``models/swinir.py``): the
+    primal runs the Pallas serving kernels on TPU, the backward the
+    validated flash-style recompute math — the plain autodiff backward
+    materializes the (nW, heads, N, N) f32 score cotangents in HBM, at
+    ws=16 4x larger than SwinIR's. The CAB branch stays plain autodiff
+    (XLA convs differentiate cleanly). Parameter tree is identical."""
 
     dim: int
     num_heads: int
@@ -85,11 +93,51 @@ class HAB(nn.Module):
     squeeze_factor: int = 30
     conv_scale: float = 0.01
     drop_path: float = 0.0
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
+
+        if self.fused_train:
+            from studiosr_tpu.models.swinir import _AttnParams, _LayerNormParams, _MlpParams
+            from studiosr_tpu.ops.attn_vjp import attention_map_vjp
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_dp_vjp
+            from studiosr_tpu.ops.windows import relative_position_index
+
+            s1, b1 = _LayerNormParams(c, name="norm1")()
+            # CAB consumes the same LN1 output (f32 stats, torch eps).
+            x32 = x.astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+            ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * s1 + b1).astype(x.dtype)
+            conv_x = CAB(self.dim, self.compress_ratio, self.squeeze_factor, name="conv_block")(ln)
+
+            table, wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, ws, self.num_heads, name="attn")()
+            rpi = relative_position_index(ws)
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, self.num_heads)
+            bias = bias.transpose(2, 0, 1)
+            mask = jnp.asarray(calculate_mask((h, w), ws, ss)) if ss > 0 else None
+
+            if train and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                bits = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, 2))
+                dp_scales = bits.astype(jnp.float32) / keep
+            else:
+                dp_scales = jnp.ones((b, 2), jnp.float32)
+
+            attn_out = attention_map_vjp(
+                x, s1, b1, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales[:, 0],
+                ss, self.num_heads, ws,
+            )
+            x = attn_out + conv_x * jnp.asarray(self.conv_scale, conv_x.dtype)
+
+            s2, b2 = _LayerNormParams(c, name="norm2")()
+            w1, bb1, w2, bb2 = _MlpParams(c, int(self.dim * self.mlp_ratio), name="mlp")()
+            flat = x.reshape(b * h * w, c)
+            y = mlp_block_dp_vjp(flat, s2, b2, w1, bb1, w2, bb2, dp_scales[:, 1], h * w)
+            return y.reshape(b, h, w, c)
 
         shortcut = x
         x = LayerNorm(name="norm1")(x)
@@ -193,6 +241,7 @@ class RHAG(nn.Module):
     conv_scale: float
     overlap_ratio: float
     drop_path: Sequence[float] = ()
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -208,16 +257,22 @@ class RHAG(nn.Module):
                 squeeze_factor=self.squeeze_factor,
                 conv_scale=self.conv_scale,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                fused_train=self.fused_train,
                 name=f"residual_group.blocks.{i}",
             )(res, train=train)
-        res = OCAB(
+        # OCAB stays plain autodiff; under fused training it is the one
+        # block without internal recompute, so remat it individually (its
+        # (nW, heads, 256, 576) cross-attention probabilities are the
+        # largest residuals in the group).
+        ocab_cls = nn.remat(OCAB, static_argnums=(2,)) if self.fused_train else OCAB
+        res = ocab_cls(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=self.window_size,
             overlap_ratio=self.overlap_ratio,
             mlp_ratio=self.mlp_ratio,
             name="residual_group.overlap_attn",
-        )(res, train=train)
+        )(res, train)
         return conv(self.dim, 3, name="conv")(res) + x
 
 
@@ -236,6 +291,7 @@ class HATModule(nn.Module):
     squeeze_factor: int = 30
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -253,7 +309,9 @@ class HATModule(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         # Remat each RHAG in backward (see models/swinir.py): window 16 makes
         # the per-block attention-map residuals 4x larger than SwinIR's.
-        rhag_cls = nn.remat(RHAG, static_argnums=(2,))
+        # With fused_train the HAB custom VJPs recompute internally, so the
+        # group-level remat is dropped (it would defeat them).
+        rhag_cls = RHAG if self.fused_train else nn.remat(RHAG, static_argnums=(2,))
         for i, depth in enumerate(self.depths):
             start = sum(self.depths[:i])
             feats = rhag_cls(
@@ -267,6 +325,7 @@ class HATModule(nn.Module):
                 conv_scale=self.conv_scale,
                 overlap_ratio=self.overlap_ratio,
                 drop_path=tuple(dpr[start : start + depth]),
+                fused_train=self.fused_train,
                 name=f"layers.{i}",
             )(feats, train)
         feats = LayerNorm(name="norm")(feats)

@@ -202,15 +202,22 @@ def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, he
     if jax.default_backend() != "cpu":
         from studiosr_tpu.ops.pallas.swin_block import fused_window_attention_block
 
-        z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        z0 = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
         try:
             z = fused_window_attention_block(
-                z, s, b, wqkv.astype(z.dtype), bqkv, wproj.astype(z.dtype), bproj, bias, mask,
+                z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
                 heads=heads, window_size=ws, drop_path=dp_scales,
             )
             out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
-        except NotImplementedError:  # non-pair layout can't fold drop_path
-            out = None
+        except NotImplementedError:
+            # Non-pair layout (e.g. HAT's ws=16) can't fold drop_path into
+            # the kernel: still run the fused forward, scale outside.
+            z = fused_window_attention_block(
+                z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
+                heads=heads, window_size=ws,
+            )
+            full = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+            out = _apply_dp(x, full, dp_scales)
     if out is None:
         full = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
         out = _apply_dp(x, full, dp_scales)

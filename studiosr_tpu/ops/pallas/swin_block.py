@@ -413,6 +413,9 @@ def fused_window_attention_block(
     cw = chunk * ws  # chunk width in pixels
     grid = (b, hgt // ws, nw_row // chunk)
 
+    if drop_path is not None and not use_pairs:
+        raise NotImplementedError("drop_path folding requires the pair kernel")
+
     from studiosr_tpu.ops.pallas import engagement
 
     engagement.engaged("fused_window_attention_block")
@@ -431,8 +434,6 @@ def fused_window_attention_block(
     base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel
     if use_pairs:
         bias = _pair_embed_bias(bias, n)
-    if drop_path is not None and not use_pairs:
-        raise NotImplementedError("drop_path folding requires the pair kernel")
     extra_kw = {"spp": spp} if use_pairs else {}
 
     def kernel(*refs):

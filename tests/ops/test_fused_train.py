@@ -76,3 +76,66 @@ def test_fused_train_drop_path_runs():
     out = fused.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
     assert out.shape == (4, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+HAT_CFG = dict(
+    scale=2,
+    embed_dim=16,
+    depths=(2,),
+    num_heads=(2,),
+    window_size=8,
+    mlp_ratio=2.0,
+    drop_path_rate=0.0,
+    overlap_ratio=0.5,
+    compress_ratio=2,
+    squeeze_factor=4,
+)
+
+
+def test_hat_fused_train_param_tree_matches():
+    from studiosr_tpu.models.hat import HATModule
+
+    plain = HATModule(**HAT_CFG)
+    fused = HATModule(**HAT_CFG, fused_train=True)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    assert _tree_paths(vp["params"]) == _tree_paths(vf["params"])
+
+
+def test_hat_fused_train_grads_match_autodiff():
+    from studiosr_tpu.models.hat import HATModule
+
+    plain = HATModule(**HAT_CFG)
+    fused = HATModule(**HAT_CFG, fused_train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)), jnp.float32)
+    gt = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, module):
+        out = module.apply({"params": params}, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.mean(jnp.abs(out - gt))
+
+    lp, gp = jax.value_and_grad(loss)(variables["params"], plain)
+    lf, gf = jax.value_and_grad(loss)(variables["params"], fused)
+
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flat_p:
+        got = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_hat_fused_train_drop_path_runs():
+    from studiosr_tpu.models.hat import HATModule
+
+    fused = HATModule(**{**HAT_CFG, "drop_path_rate": 0.2}, fused_train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 16, 16, 3)), jnp.float32)
+    variables = fused.init(jax.random.PRNGKey(0), x)
+    out = fused.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert out.shape == (4, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
