@@ -172,13 +172,19 @@ def _overlap_gather_indices(h: int, w: int, window_size: int, overlap_win: int) 
 
 
 class OCAB(nn.Module):
-    """Overlapping cross-attention block (``hat.py:198-293``)."""
+    """Overlapping cross-attention block (``hat.py:198-293``).
+
+    ``fused_train=True`` (memory-constrained training path) computes the
+    cross-attention as a checkpointed scan over window chunks: the
+    (nW, heads, 256, 576) f32 score tensor — 1.7 GB at batch 32 — never
+    materializes whole in forward or backward."""
 
     dim: int
     num_heads: int
     window_size: int
     overlap_ratio: float
     mlp_ratio: float = 2.0
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -219,7 +225,23 @@ class OCAB(nn.Module):
         qh = q_windows.reshape(bw, nq, heads, d).transpose(0, 2, 1, 3) * (d**-0.5)
         kh = k_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
         vh = v_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
-        out = attention_core(qh, kh, vh, bias=bias)
+        ck = 0
+        if self.fused_train and bw > 32:
+            ck = max((m for m in range(1, 33) if bw % m == 0))
+        if ck:
+            core = jax.checkpoint(lambda q, k, v: attention_core(q, k, v, bias=bias))
+
+            def body(carry, args):
+                return carry, core(*args)
+
+            shape = (bw // ck, ck, heads)
+            _, outc = jax.lax.scan(
+                body, None,
+                (qh.reshape(*shape, nq, d), kh.reshape(*shape, nk, d), vh.reshape(*shape, nk, d)),
+            )
+            out = outc.reshape(bw, heads, nq, d)
+        else:
+            out = attention_core(qh, kh, vh, bias=bias)
         out = out.transpose(0, 2, 1, 3).reshape(bw, nq, c)
 
         x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
@@ -271,6 +293,7 @@ class RHAG(nn.Module):
             window_size=self.window_size,
             overlap_ratio=self.overlap_ratio,
             mlp_ratio=self.mlp_ratio,
+            fused_train=self.fused_train,
             name="residual_group.overlap_attn",
         )(res, train)
         return conv(self.dim, 3, name="conv")(res) + x

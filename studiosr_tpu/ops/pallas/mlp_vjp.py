@@ -51,7 +51,8 @@ def _reference_forward(x, s, b, w1, b1, w2, b2):
 
 
 def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref):
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref,
+                *, n_acc=0):
     x = x_ref[...]
     g = g_ref[...].astype(jnp.float32)
     s = s_ref[0].astype(jnp.float32)
@@ -79,17 +80,41 @@ def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
 
     dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
 
-    # Per-program partial weight grads (summed outside).
-    dw1_ref[0] = jax.lax.dot_general(
-        ln, dh1.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # Partial weight grads. With ``n_acc`` > 0 the grid is sequential and
+    # program i accumulates into partial block i % n_acc (output-block
+    # revisiting, same pattern as ops/pallas/attn_bwd.py): n_acc f32
+    # partials instead of one per program — the per-program form kept
+    # ~20 x 63 MB of HLO temps live in the HAT training graph (OOM).
+    vals = (
+        jax.lax.dot_general(
+            ln, dh1.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+        jnp.sum(dh1, axis=0, keepdims=True),
+        jax.lax.dot_general(
+            g1.astype(x.dtype), g.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+        jnp.sum(g, axis=0, keepdims=True),
+        jnp.sum(dln * xhat, axis=0, keepdims=True),
+        jnp.sum(dln, axis=0, keepdims=True),
     )
-    db1_ref[0] = jnp.sum(dh1, axis=0, keepdims=True)
-    dw2_ref[0] = jax.lax.dot_general(
-        g1.astype(x.dtype), g.astype(x.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    db2_ref[0] = jnp.sum(g, axis=0, keepdims=True)
-    ds_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
-    db_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+    refs = (dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref)
+    if n_acc:
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(i < n_acc)
+        def _init():
+            for ref, val in zip(refs, vals):
+                ref[0] = val
+
+        @pl.when(i >= n_acc)
+        def _accum():
+            for ref, val in zip(refs, vals):
+                ref[0] = ref[0] + val
+    else:
+        for ref, val in zip(refs, vals):
+            ref[0] = val
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -123,26 +148,30 @@ def _bwd(residuals, g):
 
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     interpret = jax.default_backend() == "cpu"
+    # Sequential grid + revisited partial blocks: n_acc partials regardless
+    # of row count (per-program partials OOM'd the HAT training graph).
+    n_acc = min(8, n_blocks)
     out_shapes = (
         jax.ShapeDtypeStruct(xp.shape, x.dtype),
-        jax.ShapeDtypeStruct((n_blocks, c, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, 1, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, hidden, c), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, c, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, 1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, hidden, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_acc, 1, c), jnp.float32),
     )
+    acc_spec = lambda *shape: pl.BlockSpec((1,) + shape, lambda i: (i % n_acc, 0, 0), memory_space=pltpu.VMEM)
     out_specs = (
         pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hidden, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        acc_spec(c, hidden),
+        acc_spec(1, hidden),
+        acc_spec(hidden, c),
+        acc_spec(1, c),
+        acc_spec(1, c),
+        acc_spec(1, c),
     )
     dx, dw1p, db1p, dw2p, db2p, dsp, dbp = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, n_acc=n_acc),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -155,7 +184,7 @@ def _bwd(residuals, g):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=None if interpret else pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=None if interpret else pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xp, gp, s.reshape(1, c), b.reshape(1, c), w1, b1.reshape(1, hidden), w2)
 
