@@ -234,7 +234,8 @@ def _map_bwd(shift, heads, ws, residuals, g):
     if jax.default_backend() != "cpu":
         # One-pass Pallas backward (recompute + whole chain in VMEM): the
         # XLA math materializes the (nW, heads, N, N) cotangents in HBM.
-        from studiosr_tpu.ops.pallas.attn_bwd import pairs_attention_bwd
+        # Pairs layout for ws=8; the v5 per-window layout for ws>=12 (HAT).
+        from studiosr_tpu.ops.pallas.attn_bwd import pairs_attention_bwd, v5_attention_bwd
 
         z = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
         gz = jnp.roll(g, (-shift, -shift), axis=(1, 2)) if shift else g
@@ -242,6 +243,11 @@ def _map_bwd(shift, heads, ws, residuals, g):
             z, gz, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales,
             heads=heads, window_size=ws,
         )
+        if res is None:
+            res = v5_attention_bwd(
+                z, gz, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales,
+                heads=heads, window_size=ws,
+            )
         if res is not None:
             dz, ds, db, dwqkv, dbqkv, dwproj, dbproj, dbias = res
             dx = jnp.roll(dz, (shift, shift), axis=(1, 2)) if shift else dz

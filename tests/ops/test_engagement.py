@@ -129,3 +129,19 @@ def test_engaged_is_recorded_small_shape():
         jax.ShapeDtypeStruct((8,), jnp.float32),
     )
     assert engagement.counters()["fused_conv3x3"]["engaged"] == 1
+
+
+def test_swinir_x2_x3_fused_tails_engaged():
+    """The new single-shuffle tails must engage at the x2/x3 driver quality
+    scales (264x264 flip-padded map)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    for scale in (2, 3):
+        model = SwinIR.build(scale=scale, fast_init=True).half()
+        counts = _trace_engagement(
+            swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
+        )
+        _assert_engaged(counts, ["fused_swin_block", "fused_conv3x3", "fused_upsample_s"])
