@@ -30,19 +30,33 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
 
 class FourierUnit(nn.Module):
     """rfft2 -> 1x1 conv on concatenated (re, im) channels -> irfft2
-    (``swinfir.py:9-33``), norm='ortho'."""
+    (``swinfir.py:9-33``), norm='ortho'.
+
+    On TPU the transform runs as MXU DFT matmuls (ops/dft.py): XLA's FFT op
+    compiles pathologically at these shapes on this backend, and the dense
+    DFT contraction is a better fit for the systolic array anyway."""
 
     embed_dim: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h, w = x.shape[1:3]
-        fft = jnp.fft.rfftn(x, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
-        stacked = jnp.concatenate([fft.real, fft.imag], axis=-1)
+        if jax.default_backend() == "cpu":
+            fft = jnp.fft.rfftn(x, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
+            re_f, im_f = fft.real, fft.imag
+        else:
+            from studiosr_tpu.ops.dft import rfft2_mxu
+
+            re_f, im_f = rfft2_mxu(x)
+        stacked = jnp.concatenate([re_f.astype(x.dtype), im_f.astype(x.dtype)], axis=-1)
         stacked = conv(self.embed_dim * 2, 1, name="conv_layer")(stacked)
         stacked = _lrelu(stacked)
         re, im = jnp.split(stacked, 2, axis=-1)
-        return jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho")
+        if jax.default_backend() == "cpu":
+            return jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho")
+        from studiosr_tpu.ops.dft import irfft2_mxu
+
+        return irfft2_mxu(re, im, w).astype(x.dtype)
 
 
 class SpectralTransform(nn.Module):
@@ -95,6 +109,7 @@ class SwinFIR(SwinIR):
         drop_path_rate: float = 0.1,
         upsampler: str = "pixelshuffle",
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "SwinFIR":
         model = super().build(
             scale=scale,
@@ -109,6 +124,7 @@ class SwinFIR(SwinIR):
             drop_path_rate=drop_path_rate,
             upsampler=upsampler,
             seed=seed,
+            fast_init=fast_init,
             resi_connection=SFB,
             conv_after_body=SFB,
         )

@@ -34,10 +34,11 @@ import numpy as np
 __all__ = ["fused_window_attention_block", "fused_mlp_block", "fused_swin_block"]
 
 # Tunables for the per-program working set (see fused_window_attention_block).
-MAX_CHUNK_WINDOWS = 16
+MAX_CHUNK_WINDOWS = 34  # whole 33-window eval stripes in one program
+# (chunk 33 measured 1.3833 vs 1.3725 MP/s at the bench shape, round 3)
 SCORE_VMEM_BUDGET = 1_300_000  # bytes of f32 scores per head (ws16 -> 4 windows)
 # Pair kernel: f32 scores + bf16 probs for ALL heads live at once.
-PAIR_SCORE_VMEM_BUDGET = 5_000_000
+PAIR_SCORE_VMEM_BUDGET = 9_000_000
 # Measured-dead variants (LN via MXU matvecs: slower; heads-in-batch v5
 # dots: neutral at ws=16) are quarantined under scripts/experiments/ with
 # their STATUS.md measurements.

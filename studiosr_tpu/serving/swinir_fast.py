@@ -64,11 +64,24 @@ def _residual_conv(x, p, interpret=False):
     f = _conv(x, p["F"]["conv_before_fft.0"])
     f = jax.nn.leaky_relu(f, 0.2)
     h, w = f.shape[1:3]
-    fft = jnp.fft.rfftn(f.astype(jnp.float32), axes=(1, 2), norm="ortho")
-    stacked = jnp.concatenate([fft.real, fft.imag], axis=-1).astype(x.dtype)
+    if jax.default_backend() == "cpu":
+        fft = jnp.fft.rfftn(f.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        re_f, im_f = fft.real, fft.imag
+    else:
+        # MXU DFT matmuls — XLA's FFT op compile-hangs at these shapes on
+        # this TPU backend (ops/dft.py).
+        from studiosr_tpu.ops.dft import rfft2_mxu
+
+        re_f, im_f = rfft2_mxu(f.astype(jnp.float32))
+    stacked = jnp.concatenate([re_f, im_f], axis=-1).astype(x.dtype)
     stacked = jax.nn.leaky_relu(_conv(stacked, p["F"]["fu"]["conv_layer"]), 0.2)
     re, im = jnp.split(stacked.astype(jnp.float32), 2, axis=-1)
-    fu = jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
+    if jax.default_backend() == "cpu":
+        fu = jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
+    else:
+        from studiosr_tpu.ops.dft import irfft2_mxu
+
+        fu = irfft2_mxu(re, im, w).astype(x.dtype)
     f = _conv(fu + f, p["F"]["conv_after_fft"])
 
     return _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])
