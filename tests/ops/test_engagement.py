@@ -145,3 +145,22 @@ def test_swinir_x2_x3_fused_tails_engaged():
             swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
         )
         _assert_engaged(counts, ["fused_swin_block", "fused_conv3x3", "fused_upsample_s"])
+
+
+def test_swinir_light_fused_engaged():
+    """SwinIR-light (the x4 zoo variant: dim 60, depths [6]x4,
+    pixelshuffledirect) must engage the block kernels at the eval shape."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    model = SwinIR.build(
+        scale=4, embed_dim=60, depths=[6] * 4, num_heads=[6] * 4,
+        window_size=8, mlp_ratio=2.0, upsampler="pixelshuffledirect",
+        fast_init=True,
+    ).half()
+    counts = _trace_engagement(
+        swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(counts, ["fused_swin_block"])
