@@ -30,7 +30,7 @@ import numpy as np
 
 __all__ = ["fused_conv3x3", "fused_resblock", "fused_cab_body"]
 
-ROW_BAND = 16
+ROW_BAND = 16  # band-8 won the micro (1.712 vs 1.762) but lost in context (1.3778 vs 1.3835 MP/s)
 # The nine shifted conv slices put band-16 kernels at ~18-23 MB of Mosaic
 # scoped stack; raise the budget past the 16 MB default (same escape jax's
 # TPU flash attention uses) instead of shrinking bands (smaller bands cost

@@ -270,8 +270,12 @@ def swinir_fast_forward(
             x = _conv(x, up["0"])
             x = pixel_shuffle(x, 3)
         x = _conv(x, params["conv_last"])
-    else:  # pixelshuffledirect
-        x = _conv(x, params["upsample"]["0"])
+    else:  # pixelshuffledirect (lightweight variant): streaming conv emits
+        # the subpixel-packed channels in one pass; XLA depth-to-space ends.
+        from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+        up0 = params["upsample"]["0"]
+        x = fused_conv3x3(x, up0["kernel"].astype(x.dtype), up0["bias"], interpret=interpret)
         x = pixel_shuffle(x, scale)
 
     x = (x + mean) * img_range
