@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_window_attention_block", "fused_mlp_block", "fused_swin_block"]
+__all__ = [
+    "fused_window_attention_block",
+    "fused_mlp_block",
+    "fused_swin_block",
+    "shift_fold_supported",
+]
 
 # Tunables for the per-program working set (see fused_window_attention_block).
 MAX_CHUNK_WINDOWS = 34  # whole 33-window eval stripes in one program
@@ -89,6 +94,39 @@ def _pad_head_weights(wqkv, bqkv, wproj, heads: int, d: int, dp: int):
 
 def _ln(x32, scale, bias):
     return _layernorm(x32, scale, bias)
+
+
+def _select_chunk(nw_row: int, heads: int, n: int):
+    """Windows-per-program choice shared by fused_swin_block and
+    shift_fold_supported: the largest divisor of ``nw_row`` whose score
+    block fits the pair / per-head VMEM budget. Returns (chunk, use_pairs);
+    chunk == 0 means no layout fits."""
+    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
+    chunk = 0
+    use_pairs = True
+    if 2 * n <= 128:
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
+                chunk = cand
+    if chunk == 0:
+        use_pairs = False
+        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
+        for cand in range(1, nw_row + 1):
+            if nw_row % cand == 0 and cand <= max_chunk:
+                chunk = cand
+    return chunk, use_pairs
+
+
+def shift_fold_supported(x_shape, heads: int, window_size: int) -> bool:
+    """True when fused_swin_block can fold the cyclic ±ws/2 shift into its
+    reads (``read_shift``): needs even ws, window-multiple H/W, and a whole
+    row-stripe per program (the in-register W-roll must span the full row)."""
+    b, hgt, w, c = x_shape
+    ws = window_size
+    if ws % 2 or hgt % ws or w % ws:
+        return False
+    chunk, _ = _select_chunk(w // ws, heads, ws * ws)
+    return chunk == w // ws and chunk > 0
 
 
 def _attn_block_kernel_pairs(
@@ -244,36 +282,92 @@ def _swin_block_kernel_pairs(
     attention core is the window-pair one for ws=8 shapes (bias2 is the
     pair-embedded bias) and the per-head v5 one otherwise (bias2 is the
     plain (heads, N, N) bias)."""
+    y2 = _swin_block_body(
+        x_ref[0],
+        s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...], bproj_ref[0],
+        bias2_ref[...],
+        None if mask_ref is None else mask_ref[...],
+        s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0],
+        None if extra_ref is None else extra_ref[0],
+        None if escale_ref is None else escale_ref[0, 0],
+        None if dp1_ref is None else dp1_ref[0, 0, 0],
+        None if dp2_ref is None else dp2_ref[0, 0, 0],
+        heads=heads, window_size=window_size, dp=dp, pairs=pairs,
+    )
+    out_ref[0] = y2.astype(out_ref.dtype)
+
+
+def _swin_block_body(
+    x, s1, b1, wqkv, bqkv, wproj, bproj, bias2, mask, s2, b2, w1, fb1, w2, fb2,
+    extra, escale, dp1, dp2, *, heads, window_size, dp, pairs,
+):
+    """Whole-block computation on stripe VALUES: (ws, w, C) -> f32 (ws, w, C)."""
     ws = window_size
-    _, _, w, c = x_ref.shape
-    mask = None if mask_ref is None else mask_ref[...]
+    _, w, c = x.shape
     core = _pairs_attn_stripe if pairs else _v5_attn_stripe
     y1 = core(
-        x_ref[0], s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...],
-        bproj_ref[0], bias2_ref[...], mask, heads=heads, window_size=window_size, dp=dp,
+        x, s1, b1, wqkv, bqkv, wproj, bproj, bias2, mask,
+        heads=heads, window_size=window_size, dp=dp,
     )
-    if dp1_ref is not None:
+    if dp1 is not None:
         # stochastic-depth scaling of the residual DELTA (y1 = x + d1*attn):
         # exact because the core returns x + attn.
-        x32 = x_ref[0].astype(jnp.float32)
-        y1 = x32 + dp1_ref[0, 0, 0] * (y1 - x32)
-    if extra_ref is not None:
+        x32 = x.astype(jnp.float32)
+        y1 = x32 + dp1 * (y1 - x32)
+    if extra is not None:
         # HAT's CAB branch joins between the attention and MLP halves
         # (models/hat.py: x = attn_res + conv_scale * CAB; then MLP). The
         # squeeze-excite gate (x conv_scale) rides along as a per-sample
         # channel scale so no separate elementwise pass touches the map.
-        extra = extra_ref[0].astype(jnp.float32)
-        if escale_ref is not None:
-            extra = extra * escale_ref[0, 0].astype(jnp.float32)
-        y1 = y1 + extra
-    y1 = y1.astype(x_ref.dtype)
-    y2 = _mlp_rows(
-        y1.reshape(ws * w, c), s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0]
-    )
-    if dp2_ref is not None:
+        e32 = extra.astype(jnp.float32)
+        if escale is not None:
+            e32 = e32 * escale.astype(jnp.float32)
+        y1 = y1 + e32
+    y1 = y1.astype(x.dtype)
+    y2 = _mlp_rows(y1.reshape(ws * w, c), s2, b2, w1, fb1, w2, fb2)
+    if dp2 is not None:
         y132 = y1.reshape(ws * w, c).astype(jnp.float32)
-        y2 = y132 + dp2_ref[0, 0, 0] * (y2 - y132)
-    out_ref[0] = y2.reshape(ws, w, c).astype(out_ref.dtype)
+        y2 = y132 + dp2 * (y2 - y132)
+    return y2.reshape(ws, w, c)
+
+
+def _swin_block_kernel_shifted(
+    xa_ref,  # (1, ws//2, W, C) — upper half-stripe at the read offset
+    xb_ref,  # (1, ws//2, W, C) — lower half-stripe (index maps wrap mod H)
+    s1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias2_ref,
+    s2_ref, b2_ref, w1_ref, fb1_ref, w2_ref, fb2_ref,
+    mask_ref,  # (nw, N, N) or None
+    out_ref,  # (1, ws, W, C)
+    *,
+    heads: int,
+    window_size: int,
+    dp: int,
+    pairs: bool,
+    rot: int,  # in-register W-rotate amount (W - s for +s reads, s for -s)
+):
+    """Whole Swin block with the cyclic ±ws/2 shift folded into the READ:
+    the stripe at row offset is assembled from two half-height blocks
+    (leading-dim blocks carry no alignment constraint; the index maps wrap
+    with mod), and the column shift is an in-register sublane rotate. The
+    XLA ``jnp.roll`` passes around shifted blocks disappear entirely; the
+    output stays aligned in the shifted space and the *next* block reads it
+    back at the opposite offset (serving/swinir_fast.py tracks the space)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)
+    # Mosaic's dynamic_rotate is 32-bit only; rotate in f32 (bf16->f32->bf16
+    # is lossless, and the kernel computes LN in f32 anyway).
+    x = pltpu.roll(x.astype(jnp.float32), rot, 1).astype(x.dtype)
+    y2 = _swin_block_body(
+        x,
+        s1_ref[0], b1_ref[0], wqkv_ref[...], bqkv_ref[0], wproj_ref[...], bproj_ref[0],
+        bias2_ref[...],
+        None if mask_ref is None else mask_ref[...],
+        s2_ref[0], b2_ref[0], w1_ref[...], fb1_ref[0], w2_ref[...], fb2_ref[0],
+        None, None, None, None,
+        heads=heads, window_size=window_size, dp=dp, pairs=pairs,
+    )
+    out_ref[0] = y2.astype(out_ref.dtype)
 
 
 def _pair_embed_bias(bias: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -493,7 +587,7 @@ def fused_window_attention_block(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "read_shift", "interpret"))
 def fused_swin_block(
     x: jnp.ndarray,  # (B, H, W, C), already cyclically shifted if needed
     ln1_scale, ln1_bias,
@@ -507,12 +601,20 @@ def fused_swin_block(
     extra=None,  # optional (B, H, W, C) added between the halves (HAT CAB)
     extra_scale=None,  # optional (B, C) per-sample channel scale for extra
     drop_path=None,  # optional (B, 2) per-sample keep-scales (already /keep)
+    read_shift: int = 0,  # ±ws//2: fold the cyclic shift into the reads
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
     HBM pass (the map is read and written once instead of twice). Returns
     ``None`` when the window-pair layout does not apply (odd windows-per-row
-    or ws > 8); callers fall back to the two-kernel path."""
+    or ws > 8); callers fall back to the two-kernel path.
+
+    ``read_shift=±ws//2`` computes the block as if the input had first been
+    ``jnp.roll``-ed by (read_shift, read_shift) on (H, W): rows come from
+    half-stripe blocks at the offset and columns from an in-register rotate,
+    so the XLA roll passes around shifted blocks vanish. The output is
+    aligned in the *rolled* space; callers track which space the map is in
+    (serving/swinir_fast.py) and gate on :func:`shift_fold_supported`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -521,20 +623,7 @@ def fused_swin_block(
     n = ws * ws
     nw_row = w // ws
 
-    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
-    chunk = 0
-    use_pairs = True
-    if 2 * n <= 128:
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
-                chunk = cand
-    if chunk == 0:
-        # per-head (v5) core for larger windows (HAT's ws=16).
-        use_pairs = False
-        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand <= max_chunk:
-                chunk = cand
+    chunk, use_pairs = _select_chunk(nw_row, heads, n)
     if chunk == 0 or hgt % ws or w % ws:
         from studiosr_tpu.ops.pallas import engagement
 
@@ -542,9 +631,21 @@ def fused_swin_block(
             "fused_swin_block",
             f"layout mismatch: shape {x.shape}, ws={ws} (chunk={chunk})",
         )
+    if read_shift:
+        # Caller contract: gate on shift_fold_supported() first.
+        if (
+            abs(read_shift) != ws // 2 or ws % 2 or chunk != nw_row
+            or extra is not None or drop_path is not None
+        ):
+            raise ValueError(
+                f"read_shift={read_shift} unsupported here (ws={ws}, "
+                f"chunk={chunk}/{nw_row}); gate on shift_fold_supported()"
+            )
     from studiosr_tpu.ops.pallas import engagement
 
     engagement.engaged("fused_swin_block")
+    if read_shift:
+        engagement.engaged("swin_shift_fold")
     cw = chunk * ws
     grid = (b, hgt // ws, nw_row // chunk)
 
@@ -555,37 +656,67 @@ def fused_swin_block(
     wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
     bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
 
-    def kernel(*refs):
-        # refs: x, 13 weight/bias refs, [mask], [extra], [extra_scale],
-        # [drop_path x2], out
-        base = list(refs[:14])
-        rest = list(refs[14:-1])
-        mask_ref = rest.pop(0) if mask is not None else None
-        extra_ref = rest.pop(0) if extra is not None else None
-        escale_ref = rest.pop(0) if extra_scale is not None else None
-        dp1_ref = rest.pop(0) if drop_path is not None else None
-        dp2_ref = rest.pop(0) if drop_path is not None else None
-        _swin_block_kernel_pairs(
-            *base, mask_ref, extra_ref, escale_ref, dp1_ref, dp2_ref, refs[-1],
-            heads=heads, window_size=ws, dp=dp, pairs=use_pairs,
-        )
-
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+    weight_specs = [
         full(1, c), full(1, c),
         full(c, 3 * s), full(1, 3 * s), full(s, c), full(1, c),
         full(*bias2.shape),
         full(1, c), full(1, c),
         full(c, hidden), full(1, hidden), full(hidden, c), full(1, c),
     ]
-    operands = [
-        x, ln1_scale.reshape(1, c), ln1_bias.reshape(1, c),
+    weight_operands = [
+        ln1_scale.reshape(1, c), ln1_bias.reshape(1, c),
         wqkv_pad, bqkv_pad.reshape(1, -1), wproj_pad, bproj.reshape(1, c),
         bias2,
         ln2_scale.reshape(1, c), ln2_bias.reshape(1, c),
         w1, b1.reshape(1, hidden), w2, b2.reshape(1, c),
     ]
+    if read_shift:
+        half = ws // 2
+        hb = 2 * (hgt // ws)  # number of half-height row blocks
+        if read_shift > 0:
+            ia = lambda bi, i, j: (bi, 2 * i + 1, 0, 0)
+            ib = lambda bi, i, j: (bi, (2 * i + 2) % hb, 0, 0)
+            rot = w - half
+        else:
+            ia = lambda bi, i, j: (bi, (2 * i - 1) % hb, 0, 0)
+            ib = lambda bi, i, j: (bi, 2 * i, 0, 0)
+            rot = half
+
+        def kernel(*refs):
+            # refs: xa, xb, 13 weight/bias refs, [mask], out
+            mask_ref = refs[15] if mask is not None else None
+            _swin_block_kernel_shifted(
+                *refs[:15], mask_ref, refs[-1],
+                heads=heads, window_size=ws, dp=dp, pairs=use_pairs, rot=rot,
+            )
+
+        in_specs = [
+            pl.BlockSpec((1, half, cw, c), ia, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, half, cw, c), ib, memory_space=pltpu.VMEM),
+        ] + weight_specs
+        operands = [x, x] + weight_operands
+    else:
+
+        def kernel(*refs):
+            # refs: x, 13 weight/bias refs, [mask], [extra], [extra_scale],
+            # [drop_path x2], out
+            base = list(refs[:14])
+            rest = list(refs[14:-1])
+            mask_ref = rest.pop(0) if mask is not None else None
+            extra_ref = rest.pop(0) if extra is not None else None
+            escale_ref = rest.pop(0) if extra_scale is not None else None
+            dp1_ref = rest.pop(0) if drop_path is not None else None
+            dp2_ref = rest.pop(0) if drop_path is not None else None
+            _swin_block_kernel_pairs(
+                *base, mask_ref, extra_ref, escale_ref, dp1_ref, dp2_ref, refs[-1],
+                heads=heads, window_size=ws, dp=dp, pairs=use_pairs,
+            )
+
+        in_specs = [
+            pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        ] + weight_specs
+        operands = [x] + weight_operands
     n_chunks = nw_row // chunk
     if mask is not None:
         in_specs.append(

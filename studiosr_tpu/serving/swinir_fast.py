@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
-from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_swin_block, fused_window_attention_block
+from studiosr_tpu.ops.pallas.swin_block import (
+    fused_mlp_block,
+    fused_swin_block,
+    fused_window_attention_block,
+    shift_fold_supported,
+)
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
 from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relative_position_index
 
@@ -147,21 +152,38 @@ def swinir_fast_forward(
         layer = params[f"layers.{li}"]
         res = feats
         heads = num_heads[li]
+        sh = ws // 2
+        # Shift folding: shifted blocks read the map at a (+sh,+sh) offset
+        # inside the kernel (rows via half-stripe blocks, columns via an
+        # in-register rotate) and leave their output in the rolled space;
+        # the next block reads it back at (-sh,-sh). All the XLA roll
+        # passes per shifted block vanish — only one roll per residual
+        # group remains (before the conv). Disabled in ablation mode so the
+        # dissection deltas stay comparable.
+        fold_ok = (
+            use_fused_attn is True
+            and use_fused_mlp
+            and not _ablate
+            and shift_fold_supported(res.shape, heads, ws)
+        )
+        space = 0  # 0: map aligned; 1: map rolled by (-sh, -sh)
         for bi in range(depth):
             blk = layer[f"residual_group.blocks.{bi}"]
-            shift = 0 if bi % 2 == 0 else ws // 2
+            shift = 0 if bi % 2 == 0 else sh
 
             table = blk["attn"]["relative_position_bias_table"]
             bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
 
             y = res
-            if shift and "roll" not in _ablate:
-                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             if "attn" in _ablate and "mlp" in _ablate:
                 continue
             if use_fused_attn is True and use_fused_mlp and not _ablate & {"attn", "mlp"}:
                 # Whole-block single-pass kernel (attn + MLP in one HBM
                 # round-trip — the serving path is bandwidth-bound).
+                desired = 1 if shift else 0
+                read_shift = (desired - space) * sh if fold_ok else 0
+                if not fold_ok and shift and "roll" not in _ablate:
+                    y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
                 whole = fused_swin_block(
                     y,
                     blk["norm1"]["scale"], blk["norm1"]["bias"],
@@ -171,13 +193,23 @@ def swinir_fast_forward(
                     blk["norm2"]["scale"], blk["norm2"]["bias"],
                     blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
                     blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                    heads=heads, window_size=ws, interpret=interpret,
+                    heads=heads, window_size=ws, read_shift=read_shift, interpret=interpret,
                 )
                 if whole is not None:
-                    if shift and "roll" not in _ablate:
+                    if fold_ok:
+                        space = desired
+                    elif shift and "roll" not in _ablate:
                         whole = jnp.roll(whole, (shift, shift), axis=(1, 2))
                     res = whole
                     continue
+                y = res  # kernel declined: restart from the unrolled map
+            if space:
+                # leaving the folded path mid-group: realign first.
+                y = jnp.roll(y, (sh, sh), axis=(1, 2))
+                res = y
+                space = 0
+            if shift and "roll" not in _ablate:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             if "attn" in _ablate:
                 pass
             elif use_fused_attn:
@@ -221,6 +253,10 @@ def swinir_fast_forward(
                 h1 = jax.nn.gelu(h1, approximate=False)
                 flat = flat + (h1 @ blk["mlp"]["fc2"]["kernel"].astype(ln.dtype) + blk["mlp"]["fc2"]["bias"].astype(ln.dtype))
             res = flat.reshape(n, hgt, wdt, c)
+        if space:
+            # the group ends on a shifted block in the folded path: realign
+            # once (was one roll pair per shifted block).
+            res = jnp.roll(res, (sh, sh), axis=(1, 2))
         if "conv" not in _ablate:
             res = _residual_conv(res, layer["conv"], interpret=interpret)
         feats = res + feats

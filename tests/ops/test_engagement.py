@@ -50,7 +50,10 @@ def test_swinir_fused_engaged_at_bench_shape():
     counts = _trace_engagement(
         swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
     )
-    _assert_engaged(counts, ["fused_swin_block", "fused_conv3x3", "fused_upsample_x4"])
+    _assert_engaged(
+        counts,
+        ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4"],
+    )
     # The whole-block kernel subsumes the split kernels: the split attention
     # kernel engaging would mean the whole-block kernel fell back somewhere.
     assert "fused_window_attention_block" not in counts, counts

@@ -111,3 +111,53 @@ def test_fused_swinir_x4_tail_matches_linen():
     model.enable_fused(True)
     got = np.asarray(model(x))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("direction", [1, -1])
+def test_fused_swin_block_read_shift_equals_rolled(direction):
+    """read_shift=±ws/2 must equal jnp.roll -> fused_swin_block(read_shift=0)
+    at an ODD windows-per-row geometry (the bench class: 33 windows/row)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.swin_block import fused_swin_block, shift_fold_supported
+    from studiosr_tpu.ops.windows import calculate_mask
+
+    rng = np.random.default_rng(0)
+    ws, heads, c = 8, 2, 32
+    hgt = wdt = 3 * ws  # odd (3) windows per row — dummy-window pair path
+    sh = ws // 2
+    x = jnp.asarray(rng.standard_normal((1, hgt, wdt, c)), jnp.float32)
+    assert shift_fold_supported(x.shape, heads, ws)
+
+    n = ws * ws
+    wargs = dict(
+        ln1_scale=jnp.asarray(rng.standard_normal(c), jnp.float32),
+        ln1_bias=jnp.asarray(rng.standard_normal(c), jnp.float32),
+        wqkv=jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32),
+        bqkv=jnp.asarray(rng.standard_normal(3 * c), jnp.float32),
+        wproj=jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32),
+        bproj=jnp.asarray(rng.standard_normal(c), jnp.float32),
+        bias=jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32),
+        ln2_scale=jnp.asarray(rng.standard_normal(c), jnp.float32),
+        ln2_bias=jnp.asarray(rng.standard_normal(c), jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((c, 2 * c)) * 0.1, jnp.float32),
+        b1=jnp.asarray(rng.standard_normal(2 * c), jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((2 * c, c)) * 0.1, jnp.float32),
+        b2=jnp.asarray(rng.standard_normal(c), jnp.float32),
+    )
+    mask = jnp.asarray(calculate_mask((hgt, wdt), ws, sh)) if direction > 0 else None
+
+    # reference: materialize the roll, run the aligned kernel
+    # (read_shift=+s reads the map at +s, i.e. equals a pre-roll by -s)
+    x_rolled = jnp.roll(x, (-direction * sh, -direction * sh), axis=(1, 2))
+    want = fused_swin_block(
+        x_rolled, mask=mask, heads=heads, window_size=ws, interpret=True, **wargs
+    )
+    assert want is not None
+
+    got = fused_swin_block(
+        x, mask=mask, heads=heads, window_size=ws,
+        read_shift=direction * sh, interpret=True, **wargs
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
