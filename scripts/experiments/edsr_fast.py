@@ -13,6 +13,12 @@ STATUS: measured SLOWER than the linen/XLA forward on v5e (73-168 ms vs
 62 ms at 256x256 x4 bf16 across kernel configurations — the conv trunk is
 already XLA-optimal, reference edsr.py docstring) and therefore NOT wired
 into EDSR by default; kept as a tested reference for narrow-trunk variants.
+
+Re-measured round 3 (scripts/exp_edsr_incontext.py) after the aligned-width
++ lane-stacked-tap conv rework: fused_resblock 256ch band 8 now WINS the
+standalone micro (2.315 vs 2.402 ms) but the full streaming path is still
+3x slower in context (172.4 vs 56.1 ms) — XLA pipelines the conv trunk far
+below its standalone per-op cost. Conclusion unchanged: EDSR serves linen.
 """
 
 from __future__ import annotations

@@ -83,7 +83,7 @@ def _dy_pair(a2: int):
 
 
 def _tail_kernel(
-    x_hbm, w0s_ref, b0_ref, w1g_ref, b1_ref, w3g_ref, b3_ref, out_ref,
+    x_hbm, w0s_ref, b0_ref, w1g_ref, b1_ref, w3g_ref, b3_ref, out_ref, xs2, sems,
     *, tile, cin, n_colors, hw,
 ):
     """Alignment discipline (round-3, see conv3x3._conv9): every dot's lhs
@@ -103,17 +103,40 @@ def _tail_kernel(
 
     cpad = max(cin, 128)
     c4 = 4 * cin
+    nj = pl.num_programs(1)
+    npr = pl.num_programs(0) * nj
+    lin = i * nj + j
 
-    def body(xs, sem):
+    def _start(l, slot):
         # DMA slices must be 8-aligned on spatial dims and 128-aligned on
         # the channel dim (Mosaic tiling): read t+8 rows/cols of the
-        # (3,5)-padded, channel-padded input.
-        dma = pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(i * t, t + 8), pl.ds(j * t, t + 8), :], xs, sem
-        )
-        dma.start()
-        dma.wait()
-        x = xs[...]  # rows [i*t-3, i*t+t+5), cols [j*t-3, j*t+t+5), cpad ch
+        # (3,5)-padded, channel-padded input. Double-buffered: program l
+        # prefetches tile l+1 so the read overlaps this tile's dots.
+        il, jl = l // nj, l % nj
+        pltpu.make_async_copy(
+            x_hbm.at[
+                0,
+                pl.ds(pl.multiple_of(il * t, 8), t + 8),
+                pl.ds(pl.multiple_of(jl * t, 8), t + 8),
+                :,
+            ],
+            xs2.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(lin == 0)
+    def _():
+        _start(0, 0)
+
+    @pl.when(lin + 1 < npr)
+    def _():
+        _start(lin + 1, (lin + 1) % 2)
+
+    def body():
+        pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(0, t + 8), pl.ds(0, t + 8), :], xs2.at[lin % 2], sems.at[lin % 2]
+        ).wait()
+        x = xs2[lin % 2]  # rows [i*t-3, i*t+t+5), cols [j*t-3, j*t+t+5), cpad ch
         zc = jnp.zeros((t + 8, 8, cpad), x.dtype)
         xz = jnp.concatenate([zc, x, zc], axis=1)  # col v <-> img j*t-11+v
 
@@ -173,11 +196,7 @@ def _tail_kernel(
         o3 = o3 + b3_ref[0].astype(jnp.float32)
         out_ref[0] = o3.astype(out_ref.dtype)
 
-    pl.run_scoped(
-        body,
-        xs=pltpu.VMEM((t + 8, t + 8, max(cin, 128)), out_ref.dtype),
-        sem=pltpu.SemaphoreType.DMA,
-    )
+    body()
 
 
 def _pick_tile(h: int, w: int) -> int:
@@ -279,8 +298,13 @@ def fused_upsample_x4(
         ],
         out_specs=pl.BlockSpec((1, tile, tile, 16 * n_colors), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, 16 * n_colors), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 8, tile + 8, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # sequential grid order is what makes the +1 prefetch correct
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
