@@ -149,7 +149,10 @@ def main() -> None:
             ],
             out_specs=pl.BlockSpec((1, ws, cw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel")),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,  # match the real kernel's escape
+            ),
         )
 
         def chained(inp):
