@@ -28,7 +28,6 @@ def main() -> None:
     parser.add_argument("--reps", type=int, default=50)
     parser.add_argument("--mlp", action="store_true", help="time fused_mlp_block instead")
     parser.add_argument("--whole", action="store_true", help="time fused_swin_block (attn+MLP)")
-    parser.add_argument("--bf16chain", action="store_true", help="bf16 qkv/AV dot outputs")
     args = parser.parse_args()
 
     import jax
@@ -41,8 +40,6 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    if args.bf16chain:
-        swin_block.BF16_CHAIN = True
     if args.mode == "v5":
         swin_block.PAIR_SCORE_VMEM_BUDGET = 0
     elif args.chunk:
