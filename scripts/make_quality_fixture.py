@@ -238,8 +238,104 @@ def make_swinir_fixture(iters: int = 1500) -> None:
         )
 
 
+def make_hat_fixture(iters: int = 1500) -> None:
+    """Train a tiny HAT x4 and save it through the registry scheme
+    (tests/fixtures/quality/hat_ckpt/).
+
+    Same purpose as the SwinIR fixture: a trained-weights PSNR floor through
+    the second flagship's actually-benched configurations — the
+    ``hat_fast_forward`` serving path (CAB trunk + window attention + OCAB),
+    ``enable_fused(True)``, ``half()``. Reuses the x4 LR images the SwinIR
+    fixture wrote (``img*_lrx4.png``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import serialization
+
+    from studiosr_tpu.models import HAT
+    from studiosr_tpu.ops.resize import bicubic_resize
+    from studiosr_tpu.utils.helpers import imwrite
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    scale = 4
+    ckpt_dir = os.path.join(FIXTURE_DIR, "hat_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    hrs = make_images()
+    lrs = []
+    for i, hr in enumerate(hrs):
+        lr = np.asarray(
+            bicubic_resize(
+                jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // scale, hr.shape[1] // scale
+            )
+        )[0]
+        lr = np.clip(np.round(lr * 255.0), 0, 255).astype(np.uint8)
+        lrs.append(lr)
+        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_lrx4.png"), lr)
+
+    model = HAT.build(
+        scale=scale, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+        window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+    )
+    tx = optax.adam(optax.cosine_decay_schedule(2e-3, iters))
+    params = model.variables["params"]
+    opt_state = tx.init(params)
+    module = model.module
+
+    def loss_fn(p, lq, gt):
+        out = module.apply({"params": p}, lq, train=True)
+        return jnp.mean(jnp.abs(out - gt))
+
+    @jax.jit
+    def step(p, o, lq, gt):
+        l, g = jax.value_and_grad(loss_fn)(p, lq, gt)
+        up, o = tx.update(g, o)
+        return optax.apply_updates(p, up), o, l
+
+    rng = np.random.default_rng(2)
+    crop = 16  # LR crop (window multiple); HR 64
+    for it in range(iters):
+        lq_b, gt_b = [], []
+        for _ in range(8):
+            i = rng.integers(len(hrs))
+            y = rng.integers(0, lrs[i].shape[0] - crop)
+            x = rng.integers(0, lrs[i].shape[1] - crop)
+            lq_c = lrs[i][y : y + crop, x : x + crop].astype(np.float32) / 255.0
+            gt_c = hrs[i][y * scale : (y + crop) * scale, x * scale : (x + crop) * scale].astype(np.float32) / 255.0
+            if rng.random() < 0.5:
+                lq_c, gt_c = lq_c[:, ::-1], gt_c[:, ::-1]
+            if rng.random() < 0.5:
+                lq_c, gt_c = lq_c[::-1], gt_c[::-1]
+            k = int(rng.integers(4))
+            lq_c, gt_c = np.rot90(lq_c, k), np.rot90(gt_c, k)
+            lq_b.append(np.ascontiguousarray(lq_c))
+            gt_b.append(np.ascontiguousarray(gt_c))
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
+        if it % 250 == 0:
+            print(f"hat iter {it}: loss {float(loss):.5f}", flush=True)
+
+    model.variables = {"params": jax.device_get(params)}
+    with open(os.path.join(ckpt_dir, "best.model.ckpt"), "wb") as f:
+        f.write(serialization.to_bytes(model.variables))
+    with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
+        json.dump(model.config, f)
+
+    for i, (hr, lr) in enumerate(zip(hrs, lrs)):
+        sr = model.inference(lr)
+        up = np.asarray(
+            bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1])
+        )[0]
+        up = np.clip(np.round(up * 255.0), 0, 255).astype(np.uint8)
+        print(
+            f"img{i}: HAT-tiny x4 psnr {compute_psnr(sr, hr):.2f} dB  "
+            f"bicubic psnr {compute_psnr(up, hr):.2f} dB"
+        )
+
+
 if __name__ == "__main__":
     if "--swinir" in sys.argv:
         make_swinir_fixture()
+    elif "--hat" in sys.argv:
+        make_hat_fixture()
     else:
         main()

@@ -134,6 +134,50 @@ def test_swinir_trained_fused_paths_quality():
         model, _ = _load_swinir()
 
 
+HAT_CKPT = os.path.join(FIXTURES, "hat_ckpt")
+
+hat_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(HAT_CKPT, "best.model.ckpt")),
+    reason="hat quality fixture not generated",
+)
+
+
+@hat_fixture
+def test_hat_trained_fused_paths_quality():
+    """Trained-weights PSNR floors for the second flagship through its
+    benched configurations: plain f32, fused serving path (hat_fast_forward
+    — CAB trunk + window attention + OCAB), and fused bf16."""
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.utils.metrics import compute_psnr
+    from studiosr_tpu.zoo.registry import load_model
+
+    def load():
+        model = load_model(HAT_CKPT, "hat", tag="best")
+        pairs = []
+        for i in range(3):
+            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
+            pairs.append((lr, hr))
+        return model, pairs
+
+    model, pairs = load()
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+        model.enable_fused(True)
+        fused = compute_psnr(model.inference(lr), hr)
+        model.enable_fused(False)
+        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
+
+        model.half().enable_fused(True)
+        bf16 = compute_psnr(model.inference(lr), hr)
+        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
+        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
+        model, _ = load()  # restore f32 weights for the next image
+
+
 @swinir_fixture
 def test_swinir_trained_tiled_fused_matches_whole():
     """Tiled fused inference holds quality: overlap-discard tiling is
