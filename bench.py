@@ -68,6 +68,22 @@ def main() -> None:
         s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(REPS))
         return s
 
+    # Engagement audit BEFORE the first compile (counters record at trace
+    # time and jit caching skips retraces — tests/ops/test_engagement.py).
+    # Round-2's costliest bug was a silent kernel fallback at exactly this
+    # shape; report loudly to stderr, keeping stdout one JSON line.
+    import sys
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.reset()
+    jax.eval_shape(lambda v, a: model._forward(v, a), variables, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    counts = engagement.counters()
+    fallbacks = {k: v for k, v in counts.items() if v.get("fallback")}
+    print(f"engagement: {sorted(k for k, v in counts.items() if v.get('engaged'))}", file=sys.stderr)
+    if fallbacks:
+        print(f"WARNING: kernel fallbacks at bench shape: {fallbacks}", file=sys.stderr)
+
     f = jax.jit(chained)
     float(f(variables, x))  # compile + first run
 

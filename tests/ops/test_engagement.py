@@ -134,6 +134,23 @@ def test_engaged_is_recorded_small_shape():
     assert engagement.counters()["fused_conv3x3"]["engaged"] == 1
 
 
+def test_swinir_fused_engaged_at_prime_window_count():
+    """Arbitrary eval sizes reach layouts with no nice chunk divisor: a 322
+    input flip-pads to a 328 map = 41 windows/row (prime), forcing the
+    chunk-1 pair path (shift folding unsupported there — XLA rolls return,
+    but the block kernels must still engage, not silently fall back)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    model = SwinIR.build(scale=4, fast_init=True).half()
+    counts = _trace_engagement(
+        swinir_fast_forward, model.variables, (1, 322, 322, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(counts, ["fused_swin_block", "fused_conv3x3"])
+
+
 def test_swinir_x2_x3_fused_tails_engaged():
     """The new single-shuffle tails must engage at the x2/x3 driver quality
     scales (264x264 flip-padded map)."""
