@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fused", action="store_true")
-    parser.add_argument("--model", default="swinir", choices=["swinir", "hat"])
+    parser.add_argument("--model", default="swinir", choices=["swinir", "swinfir", "hat"])
     parser.add_argument("--fwd-only", action="store_true", help="time the loss forward alone")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--crop", type=int, default=64)
@@ -32,14 +32,14 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from studiosr_tpu.models import HAT, SwinIR
+    from studiosr_tpu.models import HAT, SwinFIR, SwinIR
     from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
     from studiosr_tpu.utils.helpers import enable_compilation_cache
     from studiosr_tpu.utils.losses import l1_loss
 
     enable_compilation_cache()
 
-    cls = {"swinir": SwinIR, "hat": HAT}[args.model]
+    cls = {"swinir": SwinIR, "swinfir": SwinFIR, "hat": HAT}[args.model]
     model = cls.build(scale=4, fast_init=True)
     module = model.module.clone(fused_train=True) if args.fused else model.module
     mesh = get_mesh()

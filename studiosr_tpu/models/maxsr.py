@@ -132,6 +132,7 @@ class _Attention(nn.Module):
     dim_head: int
     window_size: int = 0  # static mode only
     static: bool = True
+    fused: bool = False  # route the score/softmax/AV chain through Pallas
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -152,7 +153,16 @@ class _Attention(nn.Module):
             rpi = relative_position_index(self.window_size)
             bias = table(jnp.asarray(rpi)).transpose(2, 0, 1)
 
-        out = attention_core(q, k, v, bias=bias)
+        out = None
+        if self.fused:
+            # Fused VMEM-resident scores (ops/pallas/window_attn.py): the XLA
+            # path materializes the (B', heads, N, N) f32 score tensor in HBM
+            # for every one of MaxSR's 32 attention pairs.
+            from studiosr_tpu.ops.pallas.window_attn import window_attention_pallas
+
+            out = window_attention_pallas(q, k, v, bias=bias)
+        if out is None:
+            out = attention_core(q, k, v, bias=bias)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(self.dim, use_bias=False, name="to_out.0")(out)
 
@@ -181,6 +191,7 @@ class _AttentionPair(nn.Module):
     window_size: int
     static: bool
     grid: bool
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
@@ -192,7 +203,12 @@ class _AttentionPair(nn.Module):
         ff_name = "2" if self.static else "feedforward"
         y = LayerNorm(name=f"{attn_name}.norm")(tokens)
         y = _Attention(
-            self.dim, self.dim_head, window_size=self.window_size, static=self.static, name=f"{attn_name}.fn"
+            self.dim,
+            self.dim_head,
+            window_size=self.window_size,
+            static=self.static,
+            fused=self.fused,
+            name=f"{attn_name}.fn",
         )(y)
         tokens = tokens + y
         y = LayerNorm(name=f"{ff_name}.norm")(tokens)
@@ -212,6 +228,7 @@ class MaxSRModule(nn.Module):
     mbconv_expansion_rate: float = 4
     mbconv_shrinkage_rate: float = 0.25
     dropout: float = 0.1
+    fused: bool = False  # Pallas fused attention (serving; no extra params)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -247,10 +264,22 @@ class MaxSRModule(nn.Module):
                     # Pad to (wh^2, ww^2) like the reference (maxsr.py:446-449).
                     x = jnp.pad(x, ((0, 0), (0, wh * wh - hh), (0, ww_ * ww_ - www), (0, 0)))
                     x = _AttentionPair(
-                        self.dim, self.dim_head, 0, static=False, grid=False, name=f"stages.{s}.{base + 1}"
+                        self.dim,
+                        self.dim_head,
+                        0,
+                        static=False,
+                        grid=False,
+                        fused=self.fused,
+                        name=f"stages.{s}.{base + 1}",
                     )(x, wh, ww_)
                     x = _AttentionPair(
-                        self.dim, self.dim_head, 0, static=False, grid=True, name=f"stages.{s}.{base + 2}"
+                        self.dim,
+                        self.dim_head,
+                        0,
+                        static=False,
+                        grid=True,
+                        fused=self.fused,
+                        name=f"stages.{s}.{base + 2}",
                     )(x, wh, ww_)
                     # Like the reference, x stays padded (wh^2 is a fixpoint of
                     # the window rule) until the post-stage crop (maxsr.py:459).
@@ -263,10 +292,22 @@ class MaxSRModule(nn.Module):
                         name=f"stages.{s}.{dblock}.0",
                     )(x, train=train)
                     x = _AttentionPair(
-                        self.dim, self.dim_head, ws, static=True, grid=False, name=f"stages.{s}.{dblock}.1"
+                        self.dim,
+                        self.dim_head,
+                        ws,
+                        static=True,
+                        grid=False,
+                        fused=self.fused,
+                        name=f"stages.{s}.{dblock}.1",
                     )(x, ws, ws)
                     x = _AttentionPair(
-                        self.dim, self.dim_head, ws, static=True, grid=True, name=f"stages.{s}.{dblock}.2"
+                        self.dim,
+                        self.dim_head,
+                        ws,
+                        static=True,
+                        grid=True,
+                        fused=self.fused,
+                        name=f"stages.{s}.{dblock}.2",
                     )(x, ws, ws)
             stage_outputs.append(x)
 
@@ -297,6 +338,14 @@ class MaxSRModule(nn.Module):
 
 
 class MaxSR(Model):
+    def enable_fused(self, enabled: bool = True) -> "MaxSR":
+        """Route the 32 attention pairs through the fused Pallas attention
+        kernel (scores stay in VMEM; the XLA path materializes f32 score
+        tensors in HBM). Parameters are unchanged — this is a serving flag."""
+        self.module = self.module.clone(fused=enabled)
+        self._jit_forward = jax.jit(self._forward)
+        return self
+
     @classmethod
     def build(
         cls,
@@ -312,6 +361,7 @@ class MaxSR(Model):
         mbconv_shrinkage_rate: float = 0.25,
         dropout: float = 0.1,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "MaxSR":
         config = dict(
             scale=scale,
@@ -328,7 +378,9 @@ class MaxSR(Model):
         )
         module = MaxSRModule(**{**config, "depth": tuple(depth)})
         size = window_size if not adaptive else 9
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, n_colors), jnp.float32))
+        from studiosr_tpu.models.base import init_variables
+
+        variables = init_variables(module, (1, size, size, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, {})
 
     @classmethod

@@ -124,7 +124,9 @@ def window_attention_pallas(
     b, h, n, d = q.shape
     m = k.shape[2]
     if bias is None:
-        return engagement.fallback("window_attention_pallas", "no bias operand")
+        # Bias-free attention (MaxSR adaptive mode): a zero bias costs one
+        # (h, N, M) constant and keeps the single kernel body.
+        bias = jnp.zeros((h, n, m), jnp.float32)
     if mask is not None and mask.shape[0] != b:
         # window axis must equal batch axis (batch size 1)
         return engagement.fallback(

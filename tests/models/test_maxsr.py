@@ -16,6 +16,20 @@ def test_shape_of_maxsr(scale, adaptive):
     assert y.shape == (1, 12 * scale, 12 * scale, 3)
 
 
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_maxsr_fused_matches_plain(adaptive):
+    """enable_fused routes all attention pairs through the Pallas kernel
+    (interpret mode on CPU) with identical math — both modes, including the
+    bias-free adaptive attention."""
+    rng = np.random.default_rng(0)
+    x = (rng.random((1, 16, 16, 3)) * 255).astype(np.float32)
+    model = MaxSR.build(scale=2, adaptive=adaptive, **SMALL)
+    want = model._forward(model.variables, x)
+    model.enable_fused(True)
+    got = model._forward(model.variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
 def test_maxsr_static_parity():
     """Static mode (trained rel-pos embeddings) is bit-parity tested; the

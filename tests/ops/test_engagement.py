@@ -84,6 +84,25 @@ def test_hat_fused_engaged_at_bench_shape():
     )
 
 
+def test_maxsr_fused_attention_engaged_at_bench_shape():
+    """MaxSR adaptive x4 at 256x256 (sweep shape): all 32 attention pairs
+    must route through the fused Pallas attention kernel when enable_fused
+    is on — the XLA path's HBM-materialized f32 scores were ~60 of 127 ms
+    (scripts/exp_maxsr_ablate.py)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.maxsr import MaxSR
+
+    model = MaxSR.build(scale=4, fast_init=True).half().enable_fused(True)
+    engagement.reset()
+    jax.clear_caches()
+    x = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.bfloat16)
+    jax.eval_shape(lambda v, a: model._forward(v, a), model.variables, x)
+    counts = engagement.counters()
+    _assert_engaged(counts, ["window_attention_pallas"])
+    assert counts["window_attention_pallas"]["engaged"] == 32, counts
+
+
 def test_fallback_is_recorded_and_strict_raises():
     """The fallback path is loud: counters record it, strict mode raises."""
     import jax.numpy as jnp

@@ -43,10 +43,18 @@ def test_pallas_cross_attention_shapes():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_pallas_no_bias_matches_xla():
+    """bias=None (MaxSR adaptive mode) runs with a synthesized zero bias."""
+    b, h, n, d = 8, 2, 64, 16
+    q, k, v = _rand((b, h, n, d), 0) * 0.2, _rand((b, h, n, d), 1), _rand((b, h, n, d), 2)
+    want = np.asarray(attention_core(q, k, v))
+    got = np.asarray(window_attention_pallas(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_pallas_rejects_unsupported():
     b, h, n, d = 8, 2, 16, 8
     q = _rand((b, h, n, d), 0)
-    assert window_attention_pallas(q, q, q, bias=None) is None
     bias = _rand((h, n, n), 1)
     bad_mask = _rand((3, n, n), 2)  # window axis != batch axis
     assert window_attention_pallas(q, q, q, bias=bias, mask=bad_mask) is None
