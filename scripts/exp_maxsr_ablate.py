@@ -36,11 +36,14 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--fused", action="store_true", help="ablate the enable_fused(True) serving path")
     args = p.parse_args()
 
     h = w = args.size
     reps = args.reps
-    model = MaxSR.build(scale=4).half()
+    model = MaxSR.build(scale=4, fast_init=True).half()
+    if args.fused:
+        model.enable_fused(True)
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
 
@@ -51,7 +54,11 @@ def main() -> None:
     orig_attn = mx._Attention.__call__
     orig_ff = mx._FeedForward.__call__
 
-    def no_attn_core(q, k, v, bias=None, mask=None):
+    import studiosr_tpu.ops.pallas.window_attn as wa
+
+    orig_wa = wa.window_attention_pallas
+
+    def no_attn_core(q, k, v, bias=None, mask=None, **kw):
         # keep qkv/proj dots, drop the score/softmax/AV chain
         return q
 
@@ -59,6 +66,7 @@ def main() -> None:
         out = {}
         if "attn_core" in ab:
             out[(mx, "attention_core")] = no_attn_core
+            out[(wa, "window_attention_pallas")] = no_attn_core
         if "mbconv" in ab:
             out[(mx.MBConv, "__call__")] = lambda self, x, train=False: x
         if "pair" in ab:
@@ -82,6 +90,7 @@ def main() -> None:
         ("stem+HFFB+tail only", frozenset({"mbconv", "pair"})),
     ]
     originals = {
+        (wa, "window_attention_pallas"): orig_wa,
         (mx, "attention_core"): orig_attn_core,
         (mx.MBConv, "__call__"): orig_mbconv,
         (mx._AttentionPair, "__call__"): orig_pair,

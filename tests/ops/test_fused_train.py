@@ -139,3 +139,36 @@ def test_hat_fused_train_drop_path_runs():
     out = fused.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
     assert out.shape == (4, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swinfir_fused_train_grads_match_autodiff():
+    """SwinFIR = SwinIRModule with SFB residual connections: fused_train must
+    compose with the spectral blocks (reference recipe swinfir.py:83-118 uses
+    the same Trainer as SwinIR)."""
+    from studiosr_tpu.models.swinfir import SwinFIR
+
+    model = SwinFIR.build(
+        scale=2, embed_dim=16, depths=(2, 2), num_heads=(2, 2), window_size=8,
+        mlp_ratio=2.0, drop_path_rate=0.0, upsampler="pixelshuffledirect",
+    )
+    plain, fused = model.module, model.module.clone(fused_train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)), jnp.float32)
+    gt = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = model.variables
+
+    def loss(params, module):
+        out = module.apply({"params": params}, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.mean(jnp.abs(out - gt))
+
+    lp, gp = jax.value_and_grad(loss)(variables["params"], plain)
+    lf, gf = jax.value_and_grad(loss)(variables["params"], fused)
+
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flat_p:
+        got = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
