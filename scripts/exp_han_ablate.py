@@ -1,0 +1,113 @@
+"""In-context dissection of the HAN forward on TPU.
+
+    python scripts/exp_han_ablate.py [--size 256]
+
+HAN is 106.1 ms in the round-3 sweep vs 47.3 for RCAN, whose trunk it
+shares (10 ResidualGroups x 20 RCAB). The extra ~59 ms sits somewhere in
+the holistic-attention head: the LAM bilinear form over the 11-layer
+stack (two (11, H*W*C) matmuls + a 92 MB stack relayout), the CSAM 3-D
+conv gate (a 1-in/1-out-channel stencil XLA cannot MXU-tile), or the
+704->64 fusion convs. Locate it before building anything.
+
+Ablation is by monkeypatching module methods before trace (timing-only,
+wrong math).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import studiosr_tpu.models.han as hn
+    from studiosr_tpu.models import HAN
+    from studiosr_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--reps", type=int, default=4)
+    args = p.parse_args()
+
+    h = w = args.size
+    reps = args.reps
+    model = HAN.build(scale=4, fast_init=True).half()
+    x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
+    variables = jax.device_put(model.variables)
+
+    orig_lam = hn.LAM.__call__
+    orig_csam = hn.CSAM.__call__
+    orig_rg = hn.ResidualGroup.__call__
+
+    def lam_no_energy(self, stack):
+        # keep the remix einsum's traffic, drop the energy einsum + softmax
+        b, n = stack.shape[:2]
+        flat = stack.reshape(b, n, -1)
+        attention = jnp.full((b, n, n), 1.0 / n, flat.dtype)
+        return jnp.einsum("bnm,bmd->bnd", attention, flat).reshape(stack.shape) + stack
+
+    def patches(ab):
+        out = {}
+        if "lam" in ab:
+            out[(hn.LAM, "__call__")] = lambda self, stack: stack
+        if "lam_energy" in ab:
+            out[(hn.LAM, "__call__")] = lam_no_energy
+        if "csam" in ab:
+            out[(hn.CSAM, "__call__")] = lambda self, x: x
+        if "trunk" in ab:
+            out[(hn.ResidualGroup, "__call__")] = lambda self, x: x
+        return out
+
+    originals = {
+        (hn.LAM, "__call__"): orig_lam,
+        (hn.CSAM, "__call__"): orig_csam,
+        (hn.ResidualGroup, "__call__"): orig_rg,
+    }
+
+    variants = [
+        ("full", frozenset()),
+        ("no LAM (stack+fusion kept)", frozenset({"lam"})),
+        ("LAM sans energy einsums", frozenset({"lam_energy"})),
+        ("no CSAM", frozenset({"csam"})),
+        ("no trunk groups", frozenset({"trunk"})),
+        ("no LAM + no CSAM", frozenset({"lam", "csam"})),
+    ]
+
+    for name, ab in variants:
+        pt = patches(ab)
+        for key, fn in pt.items():
+            setattr(key[0], key[1], fn)
+        try:
+
+            def chained(v, inp):
+                def body(carry, _):
+                    out = model._forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6))
+                    return out.astype(jnp.float32).mean(), None
+
+                s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(reps))
+                return s
+
+            f = jax.jit(chained)
+            float(f(variables, x))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(variables, x))
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name:40s}: {best / reps * 1e3:7.1f} ms", flush=True)
+        finally:
+            for key in pt:
+                setattr(key[0], key[1], originals[key])
+
+
+if __name__ == "__main__":
+    main()

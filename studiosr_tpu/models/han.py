@@ -46,17 +46,52 @@ class LAM(nn.Module):
         return gamma * out + stack
 
 
+class _Conv3dStencil(nn.Module):
+    """3x3x3 single-channel conv over (C, H, W), computed as 27 shifted
+    scalar FMAs in the native NHWC layout.
+
+    XLA's 3-D conv lowering for a 1-in/1-out-channel kernel cannot use the
+    MXU and measured ~50 of HAN's 106.8 ms in context (scripts/
+    exp_han_ablate.py) for 113 MFLOPs of work — plus two full transposes to
+    and from the C-major volume layout. The stencil form fuses into one
+    elementwise pass and needs no transpose. Parameter tree (kernel
+    (3,3,3,1,1), bias (1,)) is identical to ``nn.Conv`` for zoo-translation
+    parity with the reference's Conv3d (``han.py:40``)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, 3, 1, 1))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        _, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        k = kernel[..., 0, 0].astype(x.dtype)
+        # Conv spatial order is (C, H, W) over the (B, C, H, W, 1) volume:
+        # out[h, w, c] = sum_{kc,kh,kw} kernel[kc,kh,kw] * x[h+kh-1, w+kw-1, c+kc-1].
+        # H/W shifts are sublane-cheap; channel shifts move lanes, so compute
+        # the 9-tap H/W stencil per channel offset first and shift only the
+        # three partial sums (2 lane shifts instead of 18).
+        acc = None
+        for kc in range(3):
+            s = None
+            for kh in range(3):
+                for kw in range(3):
+                    term = k[kc, kh, kw] * xp[:, kh : kh + h, kw : kw + w, :]
+                    s = term if s is None else s + term
+            if kc != 1:
+                sp = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (1, 1)))
+                s = sp[..., kc : kc + c]
+            acc = s if acc is None else acc + s
+        return acc + bias.astype(x.dtype)
+
+
 class CSAM(nn.Module):
     """Channel-spatial attention: 3x3x3 conv gate over (C,H,W) (``han.py:36-53``)."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
-        # NHWC -> NDHWC with D=C and a single "channel"; 3-D conv gate.
-        vol = x.transpose(0, 3, 1, 2)[..., None]  # (B, C, H, W, 1)
-        gate = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, name="conv")(vol)
+        gate = _Conv3dStencil(name="conv")(x)
         gate = nn.sigmoid(gate) * gamma
-        gate = gate[..., 0].transpose(0, 2, 3, 1)  # back to NHWC
         return x * gate + x
 
 

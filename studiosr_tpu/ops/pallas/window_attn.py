@@ -6,9 +6,9 @@ bias, shift mask, softmax, and AV all execute with the score matrix resident
 in VMEM — the (B*heads, N, N) attention tensor never round-trips through HBM
 (the XLA path materializes it between the two batched matmuls).
 
-Layout: operands arrive as (B, heads, N, d) from the models; the wrapper
-transposes to (heads, B, N, d) so each grid program works on a fixed head
-(its bias block is (N, N)) and a contiguous block of windows. The shift mask
+Layout: operands arrive as (B, heads, N, d) from the models and are consumed
+in place — each grid program picks one head and a contiguous block of windows
+via its BlockSpec index map (no staging transposes). The shift mask
 (nW, N, N) is indexed directly by the window block — supported when the
 window axis equals the batch axis (batch size 1, the SR inference case);
 other configurations fall back to the XLA path.
@@ -30,9 +30,9 @@ __all__ = ["window_attention_pallas"]
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    q = q_ref[0].astype(jnp.float32)  # (BW, N, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[:, 0].astype(jnp.float32)  # (BW, N, d)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0]
 
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -41,6 +41,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     if mask_ref is not None:
         scores = scores + mask_ref[...].astype(jnp.float32)
 
+    # Max-subtract softmax kept deliberately: the softmax-skip +
+    # normalize-after-AV variant (the swin_block kernel's win) pushed this
+    # kernel's scoped VMEM to 16.04 MB (OOM) and, with vmem_limit_bytes=64MB,
+    # measured SLOWER in context (MaxSR 109.3 vs 103.9 ms) — the bigger
+    # scoped allocation loses more pipelining overlap than the skipped
+    # reductions save at these (BW, 256, 256) score shapes.
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -48,7 +54,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     out = jax.lax.dot_general(
         probs.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[:, 0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_windows", "interpret"))
@@ -59,29 +65,28 @@ def _window_attention_impl(q, k, v, bias, mask, block_windows: int, interpret: b
     b, h, n, d = q.shape
     m = k.shape[2]
 
-    # (B, h, N, d) -> (h, B, N, d): fixed head per grid row.
-    qt = q.transpose(1, 0, 2, 3)
-    kt = k.transpose(1, 0, 2, 3)
-    vt = v.transpose(1, 0, 2, 3)
-
+    # The head is picked by the grid's BlockSpec index maps straight from the
+    # natural (B, h, N, d) layout — the previous (h, B, N, d) staging cost
+    # four full XLA transpose passes per call (measured ~half the in-context
+    # attention time on MaxSR's 8.4 MB operands).
     bw = block_windows
     pad_b = (-b) % bw
     if pad_b:
-        qt = jnp.pad(qt, ((0, 0), (0, pad_b), (0, 0), (0, 0)))
-        kt = jnp.pad(kt, ((0, 0), (0, pad_b), (0, 0), (0, 0)))
-        vt = jnp.pad(vt, ((0, 0), (0, pad_b), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
         if mask is not None:
             mask = jnp.pad(mask, ((0, pad_b), (0, 0), (0, 0)))
     bp = b + pad_b
 
     grid = (h, bp // bw)
     in_specs = [
-        pl.BlockSpec((1, bw, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bw, m, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bw, m, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bw, 1, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bw, 1, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bw, 1, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, m), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [qt, kt, vt, bias]
+    operands = [q, k, v, bias]
     if mask is not None:
         in_specs.append(pl.BlockSpec((bw, n, m), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM))
         operands.append(mask)
@@ -96,16 +101,15 @@ def _window_attention_impl(q, k, v, bias, mask, block_windows: int, interpret: b
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bw, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, bp, n, d), q.dtype),
+        out_specs=pl.BlockSpec((bw, 1, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, h, n, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=(qt.size + kt.size + vt.size) * 4, transcendentals=h * bp * n * m
+            flops=flops, bytes_accessed=(q.size + k.size + v.size) * 4, transcendentals=h * bp * n * m
         ),
         interpret=interpret,
     )(*operands)
 
-    out = out[:, :b]
-    return out.transpose(1, 0, 2, 3)
+    return out[:b]
 
 
 def window_attention_pallas(
