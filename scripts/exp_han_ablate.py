@@ -36,6 +36,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--only", nargs="*", default=None, help="substring filter on variant names")
     args = p.parse_args()
 
     h = w = args.size
@@ -55,6 +56,29 @@ def main() -> None:
         attention = jnp.full((b, n, n), 1.0 / n, flat.dtype)
         return jnp.einsum("bnm,bmd->bnd", attention, flat).reshape(stack.shape) + stack
 
+    def csam_no_stencil(self, x):
+        # keep an elementwise gate pass on the res->concat path, drop the
+        # 29-term stencil: isolates "stencil reads" from "extra stage".
+        return x * jax.nn.sigmoid(x) + x
+
+    def csam_barrier_in(self, x):
+        # timing-only stencil (fixed weights) with the input materialized
+        _, h2, w2, c2 = x.shape
+        x = jax.lax.optimization_barrier(x)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for kc in range(3):
+            s = None
+            for kh in range(3):
+                for kw in range(3):
+                    s_t = (0.01 * (kc * 9 + kh * 3 + kw + 1)) * xp[:, kh : kh + h2, kw : kw + w2, :]
+                    s = s_t if s is None else s + s_t
+            if kc != 1:
+                sp = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (1, 1)))
+                s = sp[..., kc : kc + c2]
+            acc = s if acc is None else acc + s
+        return x * jax.nn.sigmoid(acc) + x
+
     def patches(ab):
         out = {}
         if "lam" in ab:
@@ -63,6 +87,10 @@ def main() -> None:
             out[(hn.LAM, "__call__")] = lam_no_energy
         if "csam" in ab:
             out[(hn.CSAM, "__call__")] = lambda self, x: x
+        if "csam_no_stencil" in ab:
+            out[(hn.CSAM, "__call__")] = csam_no_stencil
+        if "csam_barrier_in" in ab:
+            out[(hn.CSAM, "__call__")] = csam_barrier_in
         if "trunk" in ab:
             out[(hn.ResidualGroup, "__call__")] = lambda self, x: x
         return out
@@ -78,9 +106,13 @@ def main() -> None:
         ("no LAM (stack+fusion kept)", frozenset({"lam"})),
         ("LAM sans energy einsums", frozenset({"lam_energy"})),
         ("no CSAM", frozenset({"csam"})),
+        ("CSAM sans stencil (1-read gate)", frozenset({"csam_no_stencil"})),
+        ("CSAM stencil, input barrier", frozenset({"csam_barrier_in"})),
         ("no trunk groups", frozenset({"trunk"})),
         ("no LAM + no CSAM", frozenset({"lam", "csam"})),
     ]
+    if args.only:
+        variants = [v for v in variants if any(tok in v[0] for tok in args.only)]
 
     for name, ab in variants:
         pt = patches(ab)

@@ -39,6 +39,7 @@ def parse_xplane(path):
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/swinir_trace")
+    parser.add_argument("--model", default="swinir")
     parser.add_argument("--reps", type=int, default=4)
     args = parser.parse_args()
 
@@ -46,13 +47,14 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from studiosr_tpu.models import SwinIR
     from studiosr_tpu.utils.helpers import enable_compilation_cache
+    from studiosr_tpu.zoo.registry import get_model_class
 
     enable_compilation_cache()
     h = w = 256
-    model = SwinIR.build(scale=4, fast_init=True).half()
-    model.enable_fused(True)
+    model = get_model_class(args.model).build(scale=4, fast_init=True).half()
+    if hasattr(model, "enable_fused"):
+        model.enable_fused(True)
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
 
