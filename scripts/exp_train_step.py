@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fused", action="store_true")
-    parser.add_argument("--model", default="swinir", choices=["swinir", "swinfir", "hat"])
+    parser.add_argument(
+        "--model",
+        default="swinir",
+        choices=[
+            "swinir", "swinfir", "hat", "edsr", "rcan", "han", "maxsr",
+            "imdn", "vdsr", "srcnn", "espcn", "srresnet",
+        ],
+    )
     parser.add_argument("--fwd-only", action="store_true", help="time the loss forward alone")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--crop", type=int, default=64)
@@ -32,16 +39,25 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from studiosr_tpu.models import HAT, SwinFIR, SwinIR
+    from studiosr_tpu import models as M
     from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
     from studiosr_tpu.utils.helpers import enable_compilation_cache
     from studiosr_tpu.utils.losses import l1_loss
 
     enable_compilation_cache()
 
-    cls = {"swinir": SwinIR, "swinfir": SwinFIR, "hat": HAT}[args.model]
+    cls = {
+        "swinir": M.SwinIR, "swinfir": M.SwinFIR, "hat": M.HAT, "edsr": M.EDSR,
+        "rcan": M.RCAN, "han": M.HAN, "maxsr": M.MaxSR, "imdn": M.IMDN,
+        "vdsr": M.VDSR, "srcnn": M.SRCNN, "espcn": M.ESPCN, "srresnet": M.SRResNet,
+    }[args.model]
     model = cls.build(scale=4, fast_init=True)
-    module = model.module.clone(fused_train=True) if args.fused else model.module
+    if args.fused:
+        if not hasattr(type(model.module), "fused_train"):
+            raise SystemExit(f"{args.model} has no fused_train path")
+        module = model.module.clone(fused_train=True)
+    else:
+        module = model.module
     mesh = get_mesh()
     tx = build_optimizer()
     state = prepare_state(model.variables, tx, mesh)

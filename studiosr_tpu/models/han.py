@@ -46,30 +46,53 @@ class LAM(nn.Module):
         return gamma * out + stack
 
 
-class _Conv3dStencil(nn.Module):
-    """3x3x3 single-channel conv over (C, H, W), computed as 27 shifted
-    scalar FMAs in the native NHWC layout.
+# How CSAM's 3-D conv is computed (three formulations, all measured, v5e):
+#   "conv3d"  — XLA's native 3-D conv lowering of the 1-in/1-out-channel
+#               volume conv: cannot use the MXU, pays two full volume
+#               transposes; 6.69 ms standalone (exp_csam_micro.py).
+#   "stencil" — 27 shifted scalar FMAs in native NHWC (channel shifts as 2
+#               lane pad+slices); 0.92 ms standalone but in-context ablation
+#               attributes ~45 ms to it (100.2 full vs 55.5 without CSAM,
+#               exp_han_ablate.py) — an XLA schedule-level interaction with
+#               the trunk, not compute.
+#   "banded"  — the same math as a STANDARD dense 3x3 2-D conv whose
+#               (3, 3, C, C) weight is channel-banded: W[kh,kw,ci,co] =
+#               k[co-ci+1,kh,kw] for |co-ci| <= 1 else 0. XLA sees a bog-
+#               standard MXU conv (no pad/slice fusion patterns), at ~43x
+#               the FLOPs (4.8 GFLOP at 256^2 — still ~25 us of MXU time).
+CSAM_IMPL = "banded"
 
-    XLA's 3-D conv lowering for a 1-in/1-out-channel kernel cannot use the
-    MXU and measured ~50 of HAN's 106.8 ms in context (scripts/
-    exp_han_ablate.py) for 113 MFLOPs of work — plus two full transposes to
-    and from the C-major volume layout. The stencil form fuses into one
-    elementwise pass and needs no transpose. Parameter tree (kernel
-    (3,3,3,1,1), bias (1,)) is identical to ``nn.Conv`` for zoo-translation
-    parity with the reference's Conv3d (``han.py:40``)."""
+
+class _Conv3dStencil(nn.Module):
+    """3x3x3 single-channel conv over (C, H, W) in native NHWC layout.
+
+    Parameter tree (kernel (3,3,3,1,1), bias (1,)) is identical to
+    ``nn.Conv`` for zoo-translation parity with the reference's Conv3d
+    (``han.py:40``). See CSAM_IMPL above for the formulation choices."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, 3, 1, 1))
         bias = self.param("bias", nn.initializers.zeros, (1,))
         _, h, w, c = x.shape
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         k = kernel[..., 0, 0].astype(x.dtype)
         # Conv spatial order is (C, H, W) over the (B, C, H, W, 1) volume:
         # out[h, w, c] = sum_{kc,kh,kw} kernel[kc,kh,kw] * x[h+kh-1, w+kw-1, c+kc-1].
-        # H/W shifts are sublane-cheap; channel shifts move lanes, so compute
-        # the 9-tap H/W stencil per channel offset first and shift only the
-        # three partial sums (2 lane shifts instead of 18).
+        if CSAM_IMPL == "banded":
+            # Fold the channel dimension of the volume kernel into a banded
+            # (3, 3, C, C) dense-conv weight: the kc in {0,1,2} tap lands on
+            # output channel co = ci + (kc - 1), i.e. the kc-th subdiagonal.
+            band = jnp.stack([_diag_mask(c, kc - 1, x.dtype) for kc in range(3)])  # (3, C, C); [kc, ci, co]
+            w2d = jnp.einsum("khw,kio->hwio", k, band)  # (3, 3, C, C)
+            y = jax.lax.conv_general_dilated(
+                x, w2d, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(x.dtype)
+        # "stencil": H/W shifts are sublane-cheap; channel shifts move lanes,
+        # so compute the 9-tap H/W stencil per channel offset first and shift
+        # only the three partial sums (2 lane shifts instead of 18).
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         acc = None
         for kc in range(3):
             s = None
@@ -82,6 +105,13 @@ class _Conv3dStencil(nn.Module):
                 s = sp[..., kc : kc + c]
             acc = s if acc is None else acc + s
         return acc + bias.astype(x.dtype)
+
+
+def _diag_mask(c: int, offset: int, dtype) -> jnp.ndarray:
+    """(C, C) 0/1 mask with ones where ci == co + offset: the tap
+    out[co] += k[kc] * x[co + kc - 1] lands on the (kc-1)-th subdiagonal."""
+    i = jnp.arange(c)
+    return (i[:, None] == i[None, :] + offset).astype(dtype)
 
 
 class CSAM(nn.Module):

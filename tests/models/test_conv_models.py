@@ -108,6 +108,44 @@ def test_han_parity():
     assert_parity(ref, ours)
 
 
+def test_han_csam_formulations_agree():
+    """CSAM's 3-D conv gate: the banded dense-conv formulation (the default,
+    see models/han.py CSAM_IMPL) must equal the 27-tap stencil AND torch's
+    conv3d ground truth with a RANDOM kernel — the golden HAN parity test
+    cannot see the gate because gamma inits to zero on both sides
+    (reference ``han.py:44``)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    import studiosr_tpu.models.han as hn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 64)), jnp.float32)
+    m = hn._Conv3dStencil()
+    v = {
+        "params": {
+            "kernel": jnp.asarray(rng.standard_normal((3, 3, 3, 1, 1)), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((1,)), jnp.float32),
+        }
+    }
+    orig = hn.CSAM_IMPL
+    try:
+        hn.CSAM_IMPL = "banded"
+        banded = np.asarray(m.apply(v, x))
+        hn.CSAM_IMPL = "stencil"
+        stencil = np.asarray(m.apply(v, x))
+    finally:
+        hn.CSAM_IMPL = orig
+    np.testing.assert_allclose(banded, stencil, atol=1e-5)
+
+    k = torch.tensor(np.asarray(v["params"]["kernel"]).transpose(4, 3, 0, 1, 2))
+    b = torch.tensor(np.asarray(v["params"]["bias"]))
+    xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))[:, None]  # (B, 1, C, H, W)
+    ref = torch.nn.functional.conv3d(xt, k, b, padding=1)[:, 0].permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(banded, ref, atol=1e-5)
+
+
 @pytestmark_ref
 def test_vdsr_parity():
     import torch
