@@ -117,6 +117,33 @@ def test_trainer_batchnorm_model():
     assert not np.allclose(before, after)
 
 
+def test_trainer_maxsr_smoke(tmp_path):
+    """MaxSR is the only model combining batch_stats (MBConv BN), dropout
+    rngs, AND the adaptive square-padding rule inside the training forward —
+    one Trainer step pins all three wired together."""
+    import jax
+
+    from studiosr_tpu.models import MaxSR
+
+    model = MaxSR.build(scale=2, dim=16, dim_head=8, depth=[1, 1], window_size=4)
+    dataset = SyntheticPairs(size=16, scale=2)
+    trainer = Trainer(
+        model,
+        dataset,
+        None,
+        batch_size=8,
+        num_workers=1,
+        max_iters=2,
+        eval_interval=100,
+        ckpt_path=str(tmp_path / "maxsr_ckpt"),
+        bfloat16=True,
+    )
+    trainer.run()
+    stats = trainer.model.variables["batch_stats"]
+    leaves = jax.tree_util.tree_leaves(stats)
+    assert leaves and any(not np.allclose(np.asarray(l), 0) for l in leaves)
+
+
 def test_training_config_splat():
     """The reference idiom Trainer(model, data, ev, **model.get_training_config())
     must work with every model's published recipe (docs/README.md:32-35)."""
