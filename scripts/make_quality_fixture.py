@@ -1,16 +1,25 @@
-"""Generate the offline quality fixture: images + a small trained checkpoint.
+"""Generate the offline quality fixture: images + small trained checkpoints.
 
 Creates ``tests/fixtures/quality/``:
   * three deterministic structured 128x128 HR images (gradients, edges,
     textures — enough spatial statistics for SR to beat bicubic) + their
-    bicubic x2 LR counterparts (ops/resize.py, torch-parity bicubic);
-  * a genuinely *trained* ESPCN x2 checkpoint (CPU, a few hundred Adam
-    steps) saved through the registry scheme (best.model.ckpt +
-    params.json) so the pretrained path — checkpoint load, numpy inference
-    contract, PSNR floor — is testable with no network
-    (tests/models/test_quality_fixture.py).
+    bicubic LR counterparts (ops/resize.py, torch-parity bicubic);
+  * genuinely *trained* checkpoints (CPU, a few hundred Adam steps) saved
+    through the registry scheme (best.model.ckpt + params.json) so the
+    pretrained path — checkpoint load, numpy inference contract, PSNR
+    floor — is testable with no network
+    (tests/models/test_quality_fixture.py):
+      - ESPCN x2 (the plain path),
+      - SwinIR-tiny x4 and HAT-tiny x4 (round-3 VERDICT item 3: PSNR floors
+        through the configurations actually benched — ``enable_fused(True)``,
+        ``half()``, ``inference_tiled`` and ``hat_fast_forward`` — with x4
+        classical tails and odd-window flip padding on the assertion path).
 
 Run once; outputs are committed. Deterministic (fixed seeds).
+
+    python scripts/make_quality_fixture.py            # ESPCN x2
+    python scripts/make_quality_fixture.py --swinir
+    python scripts/make_quality_fixture.py --hat
 """
 
 from __future__ import annotations
@@ -24,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 FIXTURE_DIR = os.path.join("tests", "fixtures", "quality")
-SCALE = 2
 
 
 def make_images(n=3, size=128, seed=7):
@@ -65,30 +73,54 @@ def make_images(n=3, size=128, seed=7):
     return images
 
 
-def main() -> None:
+def make_fixture(
+    build_model,
+    tag: str,
+    ckpt_subdir: str,
+    *,
+    scale: int,
+    seed: int,
+    iters: int,
+    crop: int,
+    batch: int,
+    lr_suffix: str,
+    write_hr: bool = False,
+) -> None:
+    """Train one fixture model on the deterministic images and save it
+    through the registry checkpoint scheme.
+
+    ``crop`` is the LR crop (a window multiple for the transformer models);
+    ``lr_suffix`` names the LR pngs (``_lr`` for x2, ``_lrx4`` for x4 — the
+    x4 fixtures share one set of LR images, re-written identically since
+    make_images is deterministic)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
     from flax import serialization
 
-    from studiosr_tpu.models import ESPCN
     from studiosr_tpu.ops.resize import bicubic_resize
     from studiosr_tpu.utils.helpers import imwrite
     from studiosr_tpu.utils.metrics import compute_psnr
 
-    os.makedirs(os.path.join(FIXTURE_DIR, "ckpt"), exist_ok=True)
+    ckpt_dir = os.path.join(FIXTURE_DIR, ckpt_subdir)
+    os.makedirs(ckpt_dir, exist_ok=True)
     hrs = make_images()
     lrs = []
     for i, hr in enumerate(hrs):
-        lr = np.asarray(bicubic_resize(jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // SCALE, hr.shape[1] // SCALE))[0]
+        lr = np.asarray(
+            bicubic_resize(
+                jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // scale, hr.shape[1] // scale
+            )
+        )[0]
         lr = np.clip(np.round(lr * 255.0), 0, 255).astype(np.uint8)
         lrs.append(lr)
-        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_hr.png"), hr)
-        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_lr.png"), lr)
+        if write_hr:
+            imwrite(os.path.join(FIXTURE_DIR, f"img{i}_hr.png"), hr)
+        imwrite(os.path.join(FIXTURE_DIR, f"img{i}{lr_suffix}.png"), lr)
 
-    model = ESPCN.build(scale=SCALE, channels=64)
-    tx = optax.adam(optax.cosine_decay_schedule(2e-3, 2000))
+    model = build_model()
+    tx = optax.adam(optax.cosine_decay_schedule(2e-3, iters))
     params = model.variables["params"]
     opt_state = tx.init(params)
     module = model.module
@@ -103,16 +135,15 @@ def main() -> None:
         up, o = tx.update(g, o)
         return optax.apply_updates(p, up), o, l
 
-    rng = np.random.default_rng(0)
-    crop = 24
-    for it in range(2000):
+    rng = np.random.default_rng(seed)
+    for it in range(iters):
         lq_b, gt_b = [], []
-        for _ in range(16):
+        for _ in range(batch):
             i = rng.integers(len(hrs))
             y = rng.integers(0, lrs[i].shape[0] - crop)
             x = rng.integers(0, lrs[i].shape[1] - crop)
             lq_c = lrs[i][y : y + crop, x : x + crop].astype(np.float32) / 255.0
-            gt_c = hrs[i][y * SCALE : (y + crop) * SCALE, x * SCALE : (x + crop) * SCALE].astype(np.float32) / 255.0
+            gt_c = hrs[i][y * scale : (y + crop) * scale, x * scale : (x + crop) * scale].astype(np.float32) / 255.0
             # paired flip/rot90 augmentation (the reference recipe) — also
             # makes the model ~equivariant so self-ensemble TTA helps.
             if rng.random() < 0.5:
@@ -125,211 +156,60 @@ def main() -> None:
             gt_b.append(np.ascontiguousarray(gt_c))
         params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
         if it % 250 == 0:
-            print(f"iter {it}: loss {float(loss):.5f}")
+            print(f"{tag} iter {it}: loss {float(loss):.5f}", flush=True)
 
     model.variables = {"params": jax.device_get(params)}
-    with open(os.path.join(FIXTURE_DIR, "ckpt", "best.model.ckpt"), "wb") as f:
+    with open(os.path.join(ckpt_dir, "best.model.ckpt"), "wb") as f:
         f.write(serialization.to_bytes(model.variables))
-    with open(os.path.join(FIXTURE_DIR, "ckpt", "params.json"), "w") as f:
+    with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
         json.dump(model.config, f)
 
     for i, (hr, lr) in enumerate(zip(hrs, lrs)):
         sr = model.inference(lr)
-        up = np.asarray(bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1]))[0]
+        up = np.asarray(
+            bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1])
+        )[0]
         up = np.clip(np.round(up * 255.0), 0, 255).astype(np.uint8)
         print(
-            f"img{i}: ESPCN psnr {compute_psnr(sr, hr):.2f} dB  "
+            f"img{i}: {tag} psnr {compute_psnr(sr, hr):.2f} dB  "
             f"bicubic psnr {compute_psnr(up, hr):.2f} dB"
         )
+
+
+def main() -> None:
+    from studiosr_tpu.models import ESPCN
+
+    make_fixture(
+        lambda: ESPCN.build(scale=2, channels=64),
+        "ESPCN", "ckpt",
+        scale=2, seed=0, iters=2000, crop=24, batch=16, lr_suffix="_lr", write_hr=True,
+    )
 
 
 def make_swinir_fixture(iters: int = 1500) -> None:
-    """Train a tiny SwinIR classical-x4 and save it through the registry
-    scheme (tests/fixtures/quality/swinir_ckpt/).
-
-    Purpose (round-3 VERDICT item 3): a trained-weights PSNR floor through
-    the configurations actually benched — ``enable_fused(True)``, ``half()``
-    and ``inference_tiled`` — not just the plain path. x4 classical so the
-    whole-block kernel, the fused x4 tail, and the odd-window flip padding
-    (32 LR -> 40 map, 5 windows/row) are all on the quality-assertion path.
-    """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-    from flax import serialization
-
     from studiosr_tpu.models import SwinIR
-    from studiosr_tpu.ops.resize import bicubic_resize
-    from studiosr_tpu.utils.helpers import imwrite
-    from studiosr_tpu.utils.metrics import compute_psnr
 
-    scale = 4
-    ckpt_dir = os.path.join(FIXTURE_DIR, "swinir_ckpt")
-    os.makedirs(ckpt_dir, exist_ok=True)
-    hrs = make_images()
-    lrs = []
-    for i, hr in enumerate(hrs):
-        lr = np.asarray(
-            bicubic_resize(
-                jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // scale, hr.shape[1] // scale
-            )
-        )[0]
-        lr = np.clip(np.round(lr * 255.0), 0, 255).astype(np.uint8)
-        lrs.append(lr)
-        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_lrx4.png"), lr)
-
-    model = SwinIR.build(
-        scale=scale, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
-        window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+    make_fixture(
+        lambda: SwinIR.build(
+            scale=4, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        "SwinIR-tiny x4", "swinir_ckpt",
+        scale=4, seed=1, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
     )
-    tx = optax.adam(optax.cosine_decay_schedule(2e-3, iters))
-    params = model.variables["params"]
-    opt_state = tx.init(params)
-    module = model.module
-
-    def loss_fn(p, lq, gt):
-        out = module.apply({"params": p}, lq, train=True)
-        return jnp.mean(jnp.abs(out - gt))
-
-    @jax.jit
-    def step(p, o, lq, gt):
-        l, g = jax.value_and_grad(loss_fn)(p, lq, gt)
-        up, o = tx.update(g, o)
-        return optax.apply_updates(p, up), o, l
-
-    rng = np.random.default_rng(1)
-    crop = 16  # LR crop (window multiple); HR 64
-    for it in range(iters):
-        lq_b, gt_b = [], []
-        for _ in range(8):
-            i = rng.integers(len(hrs))
-            y = rng.integers(0, lrs[i].shape[0] - crop)
-            x = rng.integers(0, lrs[i].shape[1] - crop)
-            lq_c = lrs[i][y : y + crop, x : x + crop].astype(np.float32) / 255.0
-            gt_c = hrs[i][y * scale : (y + crop) * scale, x * scale : (x + crop) * scale].astype(np.float32) / 255.0
-            if rng.random() < 0.5:
-                lq_c, gt_c = lq_c[:, ::-1], gt_c[:, ::-1]
-            if rng.random() < 0.5:
-                lq_c, gt_c = lq_c[::-1], gt_c[::-1]
-            k = int(rng.integers(4))
-            lq_c, gt_c = np.rot90(lq_c, k), np.rot90(gt_c, k)
-            lq_b.append(np.ascontiguousarray(lq_c))
-            gt_b.append(np.ascontiguousarray(gt_c))
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
-        if it % 250 == 0:
-            print(f"swinir iter {it}: loss {float(loss):.5f}", flush=True)
-
-    model.variables = {"params": jax.device_get(params)}
-    with open(os.path.join(ckpt_dir, "best.model.ckpt"), "wb") as f:
-        f.write(serialization.to_bytes(model.variables))
-    with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
-        json.dump(model.config, f)
-
-    for i, (hr, lr) in enumerate(zip(hrs, lrs)):
-        sr = model.inference(lr)
-        up = np.asarray(
-            bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1])
-        )[0]
-        up = np.clip(np.round(up * 255.0), 0, 255).astype(np.uint8)
-        print(
-            f"img{i}: SwinIR-tiny x4 psnr {compute_psnr(sr, hr):.2f} dB  "
-            f"bicubic psnr {compute_psnr(up, hr):.2f} dB"
-        )
 
 
 def make_hat_fixture(iters: int = 1500) -> None:
-    """Train a tiny HAT x4 and save it through the registry scheme
-    (tests/fixtures/quality/hat_ckpt/).
-
-    Same purpose as the SwinIR fixture: a trained-weights PSNR floor through
-    the second flagship's actually-benched configurations — the
-    ``hat_fast_forward`` serving path (CAB trunk + window attention + OCAB),
-    ``enable_fused(True)``, ``half()``. Reuses the x4 LR images the SwinIR
-    fixture wrote (``img*_lrx4.png``)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-    from flax import serialization
-
     from studiosr_tpu.models import HAT
-    from studiosr_tpu.ops.resize import bicubic_resize
-    from studiosr_tpu.utils.helpers import imwrite
-    from studiosr_tpu.utils.metrics import compute_psnr
 
-    scale = 4
-    ckpt_dir = os.path.join(FIXTURE_DIR, "hat_ckpt")
-    os.makedirs(ckpt_dir, exist_ok=True)
-    hrs = make_images()
-    lrs = []
-    for i, hr in enumerate(hrs):
-        lr = np.asarray(
-            bicubic_resize(
-                jnp.asarray(hr.astype(np.float32) / 255.0)[None], hr.shape[0] // scale, hr.shape[1] // scale
-            )
-        )[0]
-        lr = np.clip(np.round(lr * 255.0), 0, 255).astype(np.uint8)
-        lrs.append(lr)
-        imwrite(os.path.join(FIXTURE_DIR, f"img{i}_lrx4.png"), lr)
-
-    model = HAT.build(
-        scale=scale, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
-        window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+    make_fixture(
+        lambda: HAT.build(
+            scale=4, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        "HAT-tiny x4", "hat_ckpt",
+        scale=4, seed=2, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
     )
-    tx = optax.adam(optax.cosine_decay_schedule(2e-3, iters))
-    params = model.variables["params"]
-    opt_state = tx.init(params)
-    module = model.module
-
-    def loss_fn(p, lq, gt):
-        out = module.apply({"params": p}, lq, train=True)
-        return jnp.mean(jnp.abs(out - gt))
-
-    @jax.jit
-    def step(p, o, lq, gt):
-        l, g = jax.value_and_grad(loss_fn)(p, lq, gt)
-        up, o = tx.update(g, o)
-        return optax.apply_updates(p, up), o, l
-
-    rng = np.random.default_rng(2)
-    crop = 16  # LR crop (window multiple); HR 64
-    for it in range(iters):
-        lq_b, gt_b = [], []
-        for _ in range(8):
-            i = rng.integers(len(hrs))
-            y = rng.integers(0, lrs[i].shape[0] - crop)
-            x = rng.integers(0, lrs[i].shape[1] - crop)
-            lq_c = lrs[i][y : y + crop, x : x + crop].astype(np.float32) / 255.0
-            gt_c = hrs[i][y * scale : (y + crop) * scale, x * scale : (x + crop) * scale].astype(np.float32) / 255.0
-            if rng.random() < 0.5:
-                lq_c, gt_c = lq_c[:, ::-1], gt_c[:, ::-1]
-            if rng.random() < 0.5:
-                lq_c, gt_c = lq_c[::-1], gt_c[::-1]
-            k = int(rng.integers(4))
-            lq_c, gt_c = np.rot90(lq_c, k), np.rot90(gt_c, k)
-            lq_b.append(np.ascontiguousarray(lq_c))
-            gt_b.append(np.ascontiguousarray(gt_c))
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
-        if it % 250 == 0:
-            print(f"hat iter {it}: loss {float(loss):.5f}", flush=True)
-
-    model.variables = {"params": jax.device_get(params)}
-    with open(os.path.join(ckpt_dir, "best.model.ckpt"), "wb") as f:
-        f.write(serialization.to_bytes(model.variables))
-    with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
-        json.dump(model.config, f)
-
-    for i, (hr, lr) in enumerate(zip(hrs, lrs)):
-        sr = model.inference(lr)
-        up = np.asarray(
-            bicubic_resize(jnp.asarray(lr.astype(np.float32) / 255.0)[None], hr.shape[0], hr.shape[1])
-        )[0]
-        up = np.clip(np.round(up * 255.0), 0, 255).astype(np.uint8)
-        print(
-            f"img{i}: HAT-tiny x4 psnr {compute_psnr(sr, hr):.2f} dB  "
-            f"bicubic psnr {compute_psnr(up, hr):.2f} dB"
-        )
 
 
 if __name__ == "__main__":

@@ -208,7 +208,8 @@ def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, he
                 z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
                 heads=heads, window_size=ws, drop_path=dp_scales,
             )
-            out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+            if z is not None:
+                out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
         except NotImplementedError:
             # Non-pair layout (e.g. HAT's ws=16) can't fold drop_path into
             # the kernel: still run the fused forward, scale outside.
@@ -216,8 +217,9 @@ def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, he
                 z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
                 heads=heads, window_size=ws,
             )
-            full = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
-            out = _apply_dp(x, full, dp_scales)
+            if z is not None:
+                full = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
+                out = _apply_dp(x, full, dp_scales)
     if out is None:
         full = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
         out = _apply_dp(x, full, dp_scales)

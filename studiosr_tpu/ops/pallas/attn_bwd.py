@@ -29,11 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from studiosr_tpu.ops.pallas.swin_block import (
-    MAX_CHUNK_WINDOWS,
-    PAIR_SCORE_VMEM_BUDGET,
     _layernorm,
     _pad_head_weights,
     _pair_embed_bias,
+    _select_pair_chunk,
 )
 
 __all__ = ["pairs_attention_bwd", "v5_attention_bwd"]
@@ -231,12 +230,11 @@ def pairs_attention_bwd(
     nw_row = w // ws
     from studiosr_tpu.ops.pallas import engagement
 
-    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
     chunk = 0
-    if 2 * n <= 128 and hgt % ws == 0 and w % ws == 0:
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
-                chunk = cand
+    if hgt % ws == 0 and w % ws == 0:
+        # Same selection as the forward pair kernels (swin_block._select_pair_chunk)
+        # so forward and backward always agree on the chunking for a shape.
+        chunk = _select_pair_chunk(nw_row, heads, n)
     if chunk == 0:
         return engagement.fallback(
             "pairs_attention_bwd", f"layout mismatch: shape {x.shape}, ws={ws}"

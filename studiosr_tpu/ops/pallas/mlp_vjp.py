@@ -52,7 +52,7 @@ def _reference_forward(x, s, b, w1, b1, w2, b2):
 
 def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref,
-                *, n_acc=0):
+                *, chunk=1):
     x = x_ref[...]
     g = g_ref[...].astype(jnp.float32)
     s = s_ref[0].astype(jnp.float32)
@@ -80,10 +80,12 @@ def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
 
     dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
 
-    # Partial weight grads. With ``n_acc`` > 0 the grid is sequential and
-    # program i accumulates into partial block i % n_acc (output-block
-    # revisiting, same pattern as ops/pallas/attn_bwd.py): n_acc f32
-    # partials instead of one per program — the per-program form kept
+    # Partial weight grads. With ``chunk`` > 0 the grid is sequential and
+    # programs [k*chunk, (k+1)*chunk) accumulate into partial block k —
+    # CONSECUTIVE revisits of each output block, which is what the Pallas
+    # TPU output-revisiting contract guarantees (an interleaved i % n_acc
+    # map leaves the re-opened block's contents undefined). Bounded partial
+    # count instead of one per program — the per-program form kept
     # ~20 x 63 MB of HLO temps live in the HAT training graph (OOM).
     vals = (
         jax.lax.dot_general(
@@ -98,17 +100,17 @@ def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
         jnp.sum(dln, axis=0, keepdims=True),
     )
     refs = (dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref)
-    if n_acc:
+    if chunk > 1:
         from jax.experimental import pallas as pl
 
         i = pl.program_id(0)
 
-        @pl.when(i < n_acc)
+        @pl.when(i % chunk == 0)
         def _init():
             for ref, val in zip(refs, vals):
                 ref[0] = val
 
-        @pl.when(i >= n_acc)
+        @pl.when(i % chunk != 0)
         def _accum():
             for ref, val in zip(refs, vals):
                 ref[0] = ref[0] + val
@@ -148,9 +150,13 @@ def _bwd(residuals, g):
 
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     interpret = jax.default_backend() == "cpu"
-    # Sequential grid + revisited partial blocks: n_acc partials regardless
-    # of row count (per-program partials OOM'd the HAT training graph).
-    n_acc = min(8, n_blocks)
+    # Sequential grid + revisited partial blocks: a bounded number of
+    # partials regardless of row count (per-program partials OOM'd the HAT
+    # training graph). Programs [k*chunk, (k+1)*chunk) map to partial block
+    # k so every block's revisits are CONSECUTIVE — the only revisit pattern
+    # the Pallas TPU contract defines (i % n_acc interleaving is UB).
+    chunk = -(-n_blocks // 8)  # ceil: at most 8 partial blocks
+    n_acc = -(-n_blocks // chunk)  # actually-used partial blocks
     out_shapes = (
         jax.ShapeDtypeStruct(xp.shape, x.dtype),
         jax.ShapeDtypeStruct((n_acc, c, hidden), jnp.float32),
@@ -160,7 +166,7 @@ def _bwd(residuals, g):
         jax.ShapeDtypeStruct((n_acc, 1, c), jnp.float32),
         jax.ShapeDtypeStruct((n_acc, 1, c), jnp.float32),
     )
-    acc_spec = lambda *shape: pl.BlockSpec((1,) + shape, lambda i: (i % n_acc, 0, 0), memory_space=pltpu.VMEM)
+    acc_spec = lambda *shape: pl.BlockSpec((1,) + shape, lambda i: (i // chunk, 0, 0), memory_space=pltpu.VMEM)
     out_specs = (
         pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         acc_spec(c, hidden),
@@ -171,7 +177,7 @@ def _bwd(residuals, g):
         acc_spec(1, c),
     )
     dx, dw1p, db1p, dw2p, db2p, dsp, dbp = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_acc=n_acc),
+        functools.partial(_bwd_kernel, chunk=chunk),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),

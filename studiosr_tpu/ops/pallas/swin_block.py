@@ -96,25 +96,40 @@ def _ln(x32, scale, bias):
     return _layernorm(x32, scale, bias)
 
 
-def _select_chunk(nw_row: int, heads: int, n: int):
-    """Windows-per-program choice shared by fused_swin_block and
-    shift_fold_supported: the largest divisor of ``nw_row`` whose score
-    block fits the pair / per-head VMEM budget. Returns (chunk, use_pairs);
-    chunk == 0 means no layout fits."""
+def _select_pair_chunk(nw_row: int, heads: int, n: int) -> int:
+    """Windows-per-program for the window-PAIR kernels (forward and
+    backward — ops/pallas/attn_bwd.py uses this too, so both always pick
+    the same chunking for a shape): the largest divisor of ``nw_row``
+    whose padded-even pair count fits the pair VMEM budget. 0 = no fit.
+
+    Pairing pays when 2N fills one MXU tile (ws=8 -> 128 rows); at ws>=12
+    a single window already spans >=2 tiles and pairing only doubles the
+    cross-window score waste and VMEM pressure. Odd divisors are fine —
+    the kernel pads a zero dummy window (flip-padded eval maps have an
+    ODD windows-per-row count, e.g. 33 at a 256 input)."""
     pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
     chunk = 0
-    use_pairs = True
     if 2 * n <= 128:
         for cand in range(1, nw_row + 1):
             if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
                 chunk = cand
-    if chunk == 0:
-        use_pairs = False
-        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand <= max_chunk:
-                chunk = cand
-    return chunk, use_pairs
+    return chunk
+
+
+def _select_chunk(nw_row: int, heads: int, n: int):
+    """Windows-per-program choice shared by fused_swin_block,
+    fused_window_attention_block and shift_fold_supported: the largest
+    divisor of ``nw_row`` whose score block fits the pair / per-head VMEM
+    budget. Returns (chunk, use_pairs); chunk == 0 means no layout fits."""
+    chunk = _select_pair_chunk(nw_row, heads, n)
+    if chunk:
+        return chunk, True
+    max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
+    chunk = 0
+    for cand in range(1, nw_row + 1):
+        if nw_row % cand == 0 and cand <= max_chunk:
+            chunk = cand
+    return chunk, False
 
 
 def shift_fold_supported(x_shape, heads: int, window_size: int) -> bool:
@@ -479,32 +494,16 @@ def fused_window_attention_block(
     n = ws * ws
     nw_row = w // ws
 
-    # Window-pair kernel (see _attn_block_kernel_pairs) needs an even number
-    # of windows per chunk; pick the largest even divisor of the row count
-    # within its VMEM budget, falling back to the per-head kernel otherwise.
-    pair_max = max(2, PAIR_SCORE_VMEM_BUDGET // (heads * n * n * 8))
-    pair_chunk = 0
-    # Pairing pays when 2N fills one MXU tile (ws=8 -> 128 rows); at ws>=12
-    # a single window already spans >=2 tiles and pairing only doubles the
-    # cross-window score waste and VMEM pressure. Odd divisors are fine —
-    # the kernel pads a zero dummy window (flip-padded eval maps have an
-    # ODD windows-per-row count, e.g. 33 at a 256 input).
-    if 2 * n <= 128:
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand + cand % 2 <= min(pair_max, MAX_CHUNK_WINDOWS):
-                pair_chunk = cand
-    use_pairs = pair_chunk > 0
+    if hgt % ws or w % ws:
+        # The grid only tiles window multiples; without this guard the
+        # trailing rows/cols of the (full-shape) output are never written.
+        from studiosr_tpu.ops.pallas import engagement
 
-    if use_pairs:
-        chunk = pair_chunk
-    else:
-        # Largest divisor of the windows-per-row count whose f32 score block
-        # stays within the per-head kernel's VMEM score budget.
-        max_chunk = max(1, min(MAX_CHUNK_WINDOWS, (SCORE_VMEM_BUDGET // (n * n * 4))))
-        chunk = 1
-        for cand in range(1, nw_row + 1):
-            if nw_row % cand == 0 and cand <= max_chunk:
-                chunk = cand
+        return engagement.fallback("fused_window_attention_block", f"{hgt}x{w} not a multiple of ws={ws}")
+
+    # Window-pair kernel when the pair layout fits, per-head kernel
+    # otherwise — the shared selection in _select_chunk.
+    chunk, use_pairs = _select_chunk(nw_row, heads, n)
     cw = chunk * ws  # chunk width in pixels
     grid = (b, hgt // ws, nw_row // chunk)
 
@@ -609,8 +608,13 @@ def fused_swin_block(
     ``None`` when the window-pair layout does not apply (odd windows-per-row
     or ws > 8); callers fall back to the two-kernel path.
 
-    ``read_shift=±ws//2`` computes the block as if the input had first been
-    ``jnp.roll``-ed by (read_shift, read_shift) on (H, W): rows come from
+    ``read_shift=±ws//2`` READS the map at offset +read_shift, i.e. computes
+    the block as if the input had first been ``jnp.roll``-ed by
+    (-read_shift, -read_shift) on (H, W) — so the Swin shift
+    ``jnp.roll(x, (-sh, -sh))`` is folded by passing ``read_shift=+sh``
+    (the convention the parity test pins,
+    tests/ops/test_fused_swin.py::test_fused_swin_block_read_shift_equals_rolled).
+    Rows come from
     half-stripe blocks at the offset and columns from an in-register rotate,
     so the XLA roll passes around shifted blocks vanish. The output is
     aligned in the *rolled* space; callers track which space the map is in

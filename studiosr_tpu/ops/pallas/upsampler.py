@@ -102,7 +102,6 @@ def _tail_kernel(
     j = pl.program_id(1)
 
     cpad = max(cin, 128)
-    c4 = 4 * cin
     nj = pl.num_programs(1)
     npr = pl.num_programs(0) * nj
     lin = i * nj + j

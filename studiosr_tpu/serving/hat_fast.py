@@ -194,7 +194,7 @@ def hat_fast_forward(
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
                 continue
             if "attn" not in _ablate:
-                y = fused_window_attention_block(
+                fused = fused_window_attention_block(
                     y,
                     blk["norm1"]["scale"],
                     blk["norm1"]["bias"],
@@ -208,6 +208,11 @@ def hat_fast_forward(
                     window_size=ws,
                     interpret=interpret,
                 )
+                if fused is None:
+                    from studiosr_tpu.serving.swinir_fast import _xla_attention_block
+
+                    fused = _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
+                y = fused
             if shift:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
 

@@ -212,23 +212,24 @@ def swinir_fast_forward(
                 y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             if "attn" in _ablate:
                 pass
-            elif use_fused_attn:
-                y = fused_window_attention_block(
-                    y,
-                    blk["norm1"]["scale"],
-                    blk["norm1"]["bias"],
-                    blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                    blk["attn"]["qkv"]["bias"],
-                    blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                    blk["attn"]["proj"]["bias"],
-                    bias,
-                    mask if shift else None,
-                    heads=heads,
-                    window_size=ws,
-                    interpret=interpret,
-                )
             else:
-                y = _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
+                fused = None
+                if use_fused_attn:
+                    fused = fused_window_attention_block(
+                        y,
+                        blk["norm1"]["scale"],
+                        blk["norm1"]["bias"],
+                        blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                        blk["attn"]["qkv"]["bias"],
+                        blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                        blk["attn"]["proj"]["bias"],
+                        bias,
+                        mask if shift else None,
+                        heads=heads,
+                        window_size=ws,
+                        interpret=interpret,
+                    )
+                y = fused if fused is not None else _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
             if shift and "roll" not in _ablate:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             res = y
