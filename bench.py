@@ -44,7 +44,31 @@ TARGET_MULTIPLIER = 5.0
 REPS = 8
 
 
+def _wait_for_backend(retries: int = 6, probe_timeout: float = 120.0) -> None:
+    """Block until the (possibly tunneled) accelerator backend answers.
+
+    The axon relay occasionally drops and jax.devices() then HANGS rather
+    than erroring; probe it in a subprocess with a bounded timeout and retry
+    so a transient outage doesn't turn the round's benchmark into a hang."""
+    import subprocess
+    import sys
+
+    probe = "import jax; jax.devices(); print('ok')"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {attempt + 1}/{retries} failed; retrying", file=sys.stderr)
+        time.sleep(30)
+    print("backend never came up; proceeding (jax will raise)", file=sys.stderr)
+
+
 def main() -> None:
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
