@@ -136,6 +136,35 @@ def test_fallback_is_recorded_and_strict_raises():
         engagement.set_strict(False)
 
 
+def test_attention_block_fallback_on_non_window_multiple():
+    """fused_window_attention_block declines (None + recorded fallback) when
+    H or W is not a window multiple — without the guard the grid would
+    silently leave the trailing rows/cols of the output unwritten."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.swin_block import fused_window_attention_block
+
+    engagement.reset()
+    jax.clear_caches()
+    c, heads, ws = 32, 2, 8
+    n = ws * ws
+    args = (
+        jax.ShapeDtypeStruct((1, 20, 24, c), jnp.float32),  # H=20 not %8
+        jax.ShapeDtypeStruct((c,), jnp.float32),
+        jax.ShapeDtypeStruct((c,), jnp.float32),
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((3 * c,), jnp.float32),
+        jax.ShapeDtypeStruct((c, c), jnp.float32),
+        jax.ShapeDtypeStruct((c,), jnp.float32),
+        jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        None,
+    )
+    out = jax.eval_shape(fused_window_attention_block, *args, heads=heads, window_size=ws)
+    assert out is None
+    rec = engagement.counters()["fused_window_attention_block"]
+    assert rec["fallback"] == 1 and "reason" in rec
+
+
 def test_engaged_is_recorded_small_shape():
     """Engagement records on a small CPU-friendly shape (8-divisible)."""
     import jax.numpy as jnp
