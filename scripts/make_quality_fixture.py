@@ -31,6 +31,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The env var alone does not reroute when sitecustomize pre-imported jax
+# (the axon platform registers as "tpu"); pin the platform explicitly too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 FIXTURE_DIR = os.path.join("tests", "fixtures", "quality")
 
@@ -122,18 +127,21 @@ def make_fixture(
     model = build_model()
     tx = optax.adam(optax.cosine_decay_schedule(2e-3, iters))
     params = model.variables["params"]
+    batch_stats = model.variables.get("batch_stats", {})
     opt_state = tx.init(params)
     module = model.module
 
-    def loss_fn(p, lq, gt):
-        out = module.apply({"params": p}, lq, train=True)
-        return jnp.mean(jnp.abs(out - gt))
+    def loss_fn(p, bs, lq, gt):
+        if bs:
+            out, mut = module.apply({"params": p, "batch_stats": bs}, lq, train=True, mutable=["batch_stats"])
+            return jnp.mean(jnp.abs(out - gt)), mut["batch_stats"]
+        return jnp.mean(jnp.abs(module.apply({"params": p}, lq, train=True) - gt)), bs
 
     @jax.jit
-    def step(p, o, lq, gt):
-        l, g = jax.value_and_grad(loss_fn)(p, lq, gt)
+    def step(p, bs, o, lq, gt):
+        (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, lq, gt)
         up, o = tx.update(g, o)
-        return optax.apply_updates(p, up), o, l
+        return optax.apply_updates(p, up), bs, o, l
 
     rng = np.random.default_rng(seed)
     for it in range(iters):
@@ -154,11 +162,15 @@ def make_fixture(
             lq_c, gt_c = np.rot90(lq_c, k), np.rot90(gt_c, k)
             lq_b.append(np.ascontiguousarray(lq_c))
             gt_b.append(np.ascontiguousarray(gt_c))
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b)))
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(np.stack(lq_b)), jnp.asarray(np.stack(gt_b))
+        )
         if it % 250 == 0:
             print(f"{tag} iter {it}: loss {float(loss):.5f}", flush=True)
 
     model.variables = {"params": jax.device_get(params)}
+    if batch_stats:
+        model.variables["batch_stats"] = jax.device_get(batch_stats)
     with open(os.path.join(ckpt_dir, "best.model.ckpt"), "wb") as f:
         f.write(serialization.to_bytes(model.variables))
     with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
@@ -212,10 +224,25 @@ def make_hat_fixture(iters: int = 1500) -> None:
     )
 
 
+def make_maxsr_fixture(iters: int = 1500) -> None:
+    from studiosr_tpu.models import MaxSR
+
+    make_fixture(
+        lambda: MaxSR.build(
+            scale=4, adaptive=True, dim=32, dim_head=16, depth=[2, 2],
+            window_size=8, dropout=0.0,
+        ),
+        "MaxSR-tiny x4", "maxsr_ckpt",
+        scale=4, seed=3, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
 if __name__ == "__main__":
     if "--swinir" in sys.argv:
         make_swinir_fixture()
     elif "--hat" in sys.argv:
         make_hat_fixture()
+    elif "--maxsr" in sys.argv:
+        make_maxsr_fixture()
     else:
         main()

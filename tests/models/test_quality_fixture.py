@@ -192,3 +192,55 @@ def test_swinir_trained_tiled_fused_matches_whole():
     tiled = model.inference_tiled(lr, tile=24, tile_overlap=8, tile_batch=4)
     psnr_tiled = compute_psnr(tiled, hr)
     assert psnr_tiled > psnr_whole - 0.5, f"tiled {psnr_tiled:.2f} vs whole {psnr_whole:.2f}"
+
+
+MAXSR_CKPT = os.path.join(FIXTURES, "maxsr_ckpt")
+
+maxsr_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(MAXSR_CKPT, "best.model.ckpt")),
+    reason="maxsr quality fixture not generated",
+)
+
+
+@maxsr_fixture
+def test_maxsr_trained_fused_paths_quality():
+    """Trained-weights PSNR floors for MaxSR through its benched
+    configurations: plain f32, the fused Pallas attention path
+    (``enable_fused(True)`` routes all block/grid attention pairs through
+    window_attention_pallas), and fused bf16. Also the only trained-weights
+    check of the MBConv batch_stats round-trip through the registry."""
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.utils.metrics import compute_psnr
+    from studiosr_tpu.zoo.registry import load_model
+
+    def load():
+        model = load_model(MAXSR_CKPT, "maxsr", tag="best")
+        pairs = []
+        for i in range(3):
+            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
+            pairs.append((lr, hr))
+        return model, pairs
+
+    model, pairs = load()
+    stats = model.variables.get("batch_stats", {})
+    import jax as _jax
+    import numpy as _np
+
+    leaves = _jax.tree_util.tree_leaves(stats)
+    assert leaves and any(not _np.allclose(_np.asarray(l), 0) for l in leaves), "batch_stats not restored"
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+        model.enable_fused(True)
+        fused = compute_psnr(model.inference(lr), hr)
+        model.enable_fused(False)
+        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
+
+        model.half().enable_fused(True)
+        bf16 = compute_psnr(model.inference(lr), hr)
+        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
+        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
+        model, _ = load()  # restore f32 weights for the next image
