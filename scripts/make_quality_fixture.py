@@ -224,6 +224,19 @@ def make_hat_fixture(iters: int = 1500) -> None:
     )
 
 
+def make_swinfir_fixture(iters: int = 1500) -> None:
+    from studiosr_tpu.models import SwinFIR
+
+    make_fixture(
+        lambda: SwinFIR.build(
+            scale=4, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        "SwinFIR-tiny x4", "swinfir_ckpt",
+        scale=4, seed=4, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
 def make_maxsr_fixture(iters: int = 1500) -> None:
     from studiosr_tpu.models import MaxSR
 
@@ -244,5 +257,7 @@ if __name__ == "__main__":
         make_hat_fixture()
     elif "--maxsr" in sys.argv:
         make_maxsr_fixture()
+    elif "--swinfir" in sys.argv:
+        make_swinfir_fixture()
     else:
         main()

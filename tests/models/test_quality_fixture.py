@@ -244,3 +244,47 @@ def test_maxsr_trained_fused_paths_quality():
         assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
         assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
         model, _ = load()  # restore f32 weights for the next image
+
+
+SWINFIR_CKPT = os.path.join(FIXTURES, "swinfir_ckpt")
+
+swinfir_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SWINFIR_CKPT, "best.model.ckpt")),
+    reason="swinfir quality fixture not generated",
+)
+
+
+@swinfir_fixture
+def test_swinfir_trained_fused_paths_quality():
+    """Trained-weights PSNR floors for SwinFIR: the fused serving path runs
+    the SwinIR block kernels PLUS the MXU-DFT spectral branch (SFB) — this
+    is the only trained-weights check of the DFT formulation."""
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.utils.metrics import compute_psnr
+    from studiosr_tpu.zoo.registry import load_model
+
+    def load():
+        model = load_model(SWINFIR_CKPT, "swinfir", tag="best")
+        pairs = []
+        for i in range(3):
+            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
+            pairs.append((lr, hr))
+        return model, pairs
+
+    model, pairs = load()
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+        model.enable_fused(True)
+        fused = compute_psnr(model.inference(lr), hr)
+        model.enable_fused(False)
+        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
+
+        model.half().enable_fused(True)
+        bf16 = compute_psnr(model.inference(lr), hr)
+        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
+        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
+        model, _ = load()  # restore f32 weights for the next image
