@@ -165,6 +165,35 @@ def test_attention_block_fallback_on_non_window_multiple():
     assert rec["fallback"] == 1 and "reason" in rec
 
 
+def test_training_backward_kernels_engage_at_driver_shape():
+    """The Pallas attention-backward kernels must ENGAGE at the driver's
+    training geometry (batch 32, 64px crops): SwinIR ws=8/180ch via the pair
+    kernel, HAT ws=16/180ch via v5 — the silent-fallback class that cost
+    round 2 applies to training shapes too."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.attn_bwd import pairs_attention_bwd, v5_attention_bwd
+
+    b, hw, c = 32, 64, 180
+    arr = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+    for fn, heads, ws, name in (
+        (pairs_attention_bwd, 6, 8, "pairs_attention_bwd"),
+        (v5_attention_bwd, 6, 16, "v5_attention_bwd"),
+    ):
+        n = ws * ws
+        engagement.reset()
+        jax.clear_caches()
+        out = jax.eval_shape(
+            lambda xx, gg, s, bb, wq, bq, wp, bp, bias, fn=fn, heads=heads, ws=ws: fn(
+                xx, gg, s, bb, wq, bq, wp, bp, bias, None, None, heads=heads, window_size=ws
+            ),
+            arr(b, hw, hw, c), arr(b, hw, hw, c), arr(c), arr(c),
+            arr(c, 3 * c), arr(3 * c), arr(c, c), arr(c), arr(heads, n, n),
+        )
+        assert out is not None, f"{name} fell back at the driver training shape"
+        assert engagement.counters()[name]["engaged"] >= 1
+
+
 def test_engaged_is_recorded_small_shape():
     """Engagement records on a small CPU-friendly shape (8-divisible)."""
     import jax.numpy as jnp
