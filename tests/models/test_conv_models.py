@@ -24,8 +24,10 @@ def test_shape_of_rcan(scale, size):
     assert y.shape == (1, size * scale, size * scale, 3)
 
 
-@pytest.mark.parametrize("scale", [2, 3, 4])
+@pytest.mark.parametrize("scale", [2, 3, 4, 8])
 def test_shape_of_han(scale):
+    # x8 included: the reference ships HAN_BIX8 (han.py:149) via the 2^n
+    # upsampler ladder.
     model = HAN.build(scale=scale, **SMALL["han"])
     y = model(np.zeros((1, 12, 12, 3), np.float32))
     assert y.shape == (1, 12 * scale, 12 * scale, 3)
