@@ -224,6 +224,21 @@ def make_hat_fixture(iters: int = 1500) -> None:
     )
 
 
+def make_swinir_s_fixture(scale: int, iters: int = 1500) -> None:
+    """SwinIR-tiny at x2/x3: trained-weights floors for the single-shuffle
+    fused tails (ops/pallas/upsampler.fused_upsample_s) built in round 3."""
+    from studiosr_tpu.models import SwinIR
+
+    make_fixture(
+        lambda: SwinIR.build(
+            scale=scale, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        f"SwinIR-tiny x{scale}", f"swinir_x{scale}_ckpt",
+        scale=scale, seed=4 + scale, iters=iters, crop=16, batch=8, lr_suffix=f"_lrx{scale}",
+    )
+
+
 def make_swinfir_fixture(iters: int = 1500) -> None:
     from studiosr_tpu.models import SwinFIR
 
@@ -259,5 +274,9 @@ if __name__ == "__main__":
         make_maxsr_fixture()
     elif "--swinfir" in sys.argv:
         make_swinfir_fixture()
+    elif "--swinir-x2" in sys.argv:
+        make_swinir_s_fixture(2)
+    elif "--swinir-x3" in sys.argv:
+        make_swinir_s_fixture(3)
     else:
         main()

@@ -288,3 +288,48 @@ def test_swinfir_trained_fused_paths_quality():
         assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
         assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
         model, _ = load()  # restore f32 weights for the next image
+
+
+def _swinir_s_ckpt(scale):
+    return os.path.join(FIXTURES, f"swinir_x{scale}_ckpt")
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_swinir_trained_fused_tail_quality_x2_x3(scale):
+    """Trained-weights PSNR floors at x2/x3: the single-shuffle fused tails
+    (ops/pallas/upsampler.fused_upsample_s) on the serving path — x4 covers
+    only the three-conv quadrant-planar tail, so these pin the other two
+    driver quality scales."""
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.utils.metrics import compute_psnr
+    from studiosr_tpu.zoo.registry import load_model
+
+    ckpt = _swinir_s_ckpt(scale)
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip(f"swinir x{scale} quality fixture not generated")
+
+    def load():
+        model = load_model(ckpt, "swinir", tag="best")
+        pairs = []
+        for i in range(3):
+            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx{scale}.png"))
+            pairs.append((lr, hr))
+        return model, pairs
+
+    model, pairs = load()
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+        model.enable_fused(True)
+        fused = compute_psnr(model.inference(lr), hr)
+        model.enable_fused(False)
+        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
+
+        model.half().enable_fused(True)
+        bf16 = compute_psnr(model.inference(lr), hr)
+        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
+        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
+        model, _ = load()  # restore f32 weights for the next image
