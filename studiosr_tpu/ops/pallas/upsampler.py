@@ -226,11 +226,14 @@ def fused_upsample_x4(
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
     if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
-        return engagement.fallback(
-            "fused_upsample_x4",
-            f"layout mismatch: shape {x.shape}, tile={tile}, "
-            f"w0 out {w0.shape[-1]} vs {4 * cin}",
-        )
+        why = []
+        if n != 1:
+            why.append(f"batch {n} (kernel is single-image; callers batch via tiling)")
+        if tile == 0:
+            why.append(f"no valid tile for {h}x{w}")
+        if w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
+            why.append(f"ladder widths {w0.shape[-1]}/{w1.shape[-1]} != {4 * cin}")
+        return engagement.fallback("fused_upsample_x4", "; ".join(why))
     engagement.engaged("fused_upsample_x4")
 
     perm = _quadrant_perm(cin)
@@ -428,11 +431,14 @@ def fused_upsample_s(
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
     if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
-        return engagement.fallback(
-            "fused_upsample_s",
-            f"layout mismatch: shape {x.shape}, tile={tile}, "
-            f"w0 out {w0.shape[-1]} vs {s * s * cin}",
-        )
+        why = []
+        if n != 1:
+            why.append(f"batch {n} (kernel is single-image; callers batch via tiling)")
+        if tile == 0:
+            why.append(f"no valid tile for {h}x{w}")
+        if w0.shape[-1] != s * s * cin:
+            why.append(f"ladder width {w0.shape[-1]} != {s * s * cin}")
+        return engagement.fallback("fused_upsample_s", "; ".join(why))
     engagement.engaged("fused_upsample_s")
 
     perm = _perm_s(cin, s)
