@@ -110,7 +110,10 @@ def make_fixture(
 
     ckpt_dir = os.path.join(FIXTURE_DIR, ckpt_subdir)
     os.makedirs(ckpt_dir, exist_ok=True)
-    hrs = make_images()
+    # Mod-crop the HR to a scale multiple (128 is not divisible by 3) —
+    # otherwise the LR is not an exact x-scale downscale and every training
+    # pair is geometrically skewed. Tests mod-crop the stored HR the same way.
+    hrs = [hr[: hr.shape[0] // scale * scale, : hr.shape[1] // scale * scale] for hr in make_images()]
     lrs = []
     for i, hr in enumerate(hrs):
         lr = np.asarray(

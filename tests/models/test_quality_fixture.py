@@ -313,6 +313,8 @@ def test_swinir_trained_fused_tail_quality_x2_x3(scale):
         pairs = []
         for i in range(3):
             hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+            # mod-crop like the fixture generator (128 is not a x3 multiple)
+            hr = hr[: hr.shape[0] // scale * scale, : hr.shape[1] // scale * scale]
             lr = imread(os.path.join(FIXTURES, f"img{i}_lrx{scale}.png"))
             pairs.append((lr, hr))
         return model, pairs
