@@ -235,6 +235,12 @@ class MaxSRModule(nn.Module):
         h, w = x.shape[1:3]
         normalizer = Normalizer(self.img_range)
         ws = self.window_size
+        # Rematerialize each attention pair in the backward pass: autodiff
+        # otherwise saves the (B*nW, heads, N, N) f32 score/prob maps of all
+        # 32 pairs as residuals (~4 GB at batch-32 training shapes). Free at
+        # inference (forward-only jit drops the recompute). Same pattern as
+        # models/swinir.py RSTB remat.
+        pair_cls = nn.remat(_AttentionPair, static_argnums=(2, 3))
 
         if not self.adaptive:
             pad_h = (ws - h % ws) % ws
@@ -263,7 +269,7 @@ class MaxSRModule(nn.Module):
                     wh, ww_ = math.ceil(math.sqrt(hh)), math.ceil(math.sqrt(www))
                     # Pad to (wh^2, ww^2) like the reference (maxsr.py:446-449).
                     x = jnp.pad(x, ((0, 0), (0, wh * wh - hh), (0, ww_ * ww_ - www), (0, 0)))
-                    x = _AttentionPair(
+                    x = pair_cls(
                         self.dim,
                         self.dim_head,
                         0,
@@ -272,7 +278,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         name=f"stages.{s}.{base + 1}",
                     )(x, wh, ww_)
-                    x = _AttentionPair(
+                    x = pair_cls(
                         self.dim,
                         self.dim_head,
                         0,
@@ -291,7 +297,7 @@ class MaxSRModule(nn.Module):
                         self.dropout,
                         name=f"stages.{s}.{dblock}.0",
                     )(x, train=train)
-                    x = _AttentionPair(
+                    x = pair_cls(
                         self.dim,
                         self.dim_head,
                         ws,
@@ -300,7 +306,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         name=f"stages.{s}.{dblock}.1",
                     )(x, ws, ws)
-                    x = _AttentionPair(
+                    x = pair_cls(
                         self.dim,
                         self.dim_head,
                         ws,
