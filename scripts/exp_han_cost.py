@@ -70,20 +70,28 @@ def main() -> None:
         finally:
             hn.CSAM.__call__ = orig_csam
 
-    full = run("full", None)
-    nocsam = run("no CSAM", lambda self, xx: xx)
-    db = full[0].get("bytes accessed", 0) - nocsam[0].get("bytes accessed", 0)
-    df = full[0].get("flops", 0) - nocsam[0].get("flops", 0)
-    print(f"\ndelta bytes accessed: {db/1e9:.3f} GB   delta flops: {df/1e9:.3f} G")
-    dops = full[1] - nocsam[1]
-    print(f"op-count delta (full minus no-CSAM): {dict(dops)}")
-    dops2 = nocsam[1] - full[1]
-    print(f"op-count delta (no-CSAM minus full): {dict(dops2)}")
-    with open("/tmp/han_full.hlo", "w") as fh:
-        fh.write(full[2])
-    with open("/tmp/han_nocsam.hlo", "w") as fh:
-        fh.write(nocsam[2])
-    print("optimized HLO written to /tmp/han_full.hlo /tmp/han_nocsam.hlo")
+    results = {}
+    results["banded"] = run("full (CSAM_IMPL=banded)", None)
+    hn.CSAM_IMPL = "stencil"
+    try:
+        results["stencil"] = run("full (CSAM_IMPL=stencil)", orig_csam)
+    finally:
+        hn.CSAM_IMPL = "banded"
+    results["none"] = run("no CSAM", lambda self, xx: xx)
+
+    base = results["none"]
+    for name in ("banded", "stencil"):
+        cost, ops, txt = results[name]
+        db = cost.get("bytes accessed", 0) - base[0].get("bytes accessed", 0)
+        df = cost.get("flops", 0) - base[0].get("flops", 0)
+        print(f"\n{name} minus no-CSAM: bytes {db/1e9:.3f} GB, flops {df/1e9:.3f} G")
+        print(f"  op-count delta: {dict(ops - base[1])}")
+        print(f"  op-count delta (reverse): {dict(base[1] - ops)}")
+        with open(f"/tmp/han_{name}.hlo", "w") as fh:
+            fh.write(txt)
+    with open("/tmp/han_none.hlo", "w") as fh:
+        fh.write(base[2])
+    print("optimized HLO written to /tmp/han_{banded,stencil,none}.hlo")
 
 
 if __name__ == "__main__":
