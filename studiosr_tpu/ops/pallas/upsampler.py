@@ -225,10 +225,13 @@ def fused_upsample_x4(
     n, h, w, cin = x.shape
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
+    if n != 1 and tile != 0 and w0.shape[-1] == 4 * cin and w1.shape[-1] == 4 * cin:
+        # The kernel is single-image (its manual-DMA prefetch ring orders a
+        # 2-D tile grid); batch via lax.map — the grid was sequential anyway,
+        # so a per-image scan loses no parallelism (tiled serving tile_batch).
+        return jax.lax.map(lambda one: fused_upsample_x4(one[None], w0, b0, w1, b1, w2, b2, interpret=interpret)[0], x)
     if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
         why = []
-        if n != 1:
-            why.append(f"batch {n} (kernel is single-image; callers batch via tiling)")
         if tile == 0:
             why.append(f"no valid tile for {h}x{w}")
         if w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
@@ -430,10 +433,11 @@ def fused_upsample_s(
     n, h, w, cin = x.shape
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
+    if n != 1 and tile != 0 and w0.shape[-1] == s * s * cin:
+        # Batch via lax.map; see fused_upsample_x4 (sequential grid anyway).
+        return jax.lax.map(lambda one: fused_upsample_s(one[None], w0, b0, w2, b2, s=s, interpret=interpret)[0], x)
     if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
         why = []
-        if n != 1:
-            why.append(f"batch {n} (kernel is single-image; callers batch via tiling)")
         if tile == 0:
             why.append(f"no valid tile for {h}x{w}")
         if w0.shape[-1] != s * s * cin:
