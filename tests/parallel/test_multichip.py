@@ -99,3 +99,26 @@ def test_tiled_inference_sharded_over_mesh():
     whole = model.inference(image)
     tiled = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=8, mesh=mesh)
     np.testing.assert_array_equal(whole, tiled)
+
+
+def test_tiled_inference_sharded_fused_swinir():
+    """The fused Pallas serving path must run under mesh-sharded tiled
+    inference (pallas_call inside the sharded jit on every device) — the
+    multi-chip serving configuration for the transformer models."""
+    import jax
+
+    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.parallel import get_mesh
+    from studiosr_tpu.parallel.tiled import tiled_inference
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    model = SwinIR.build(scale=2, embed_dim=16, depths=[1], num_heads=[2], window_size=8)
+    model.enable_fused(True)
+    mesh = get_mesh()
+    image = np.random.default_rng(2).integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    whole = model.inference(image)
+    tiled = tiled_inference(model, image, tile=24, tile_overlap=8, tile_batch=8, mesh=mesh)
+    assert tiled.shape == whole.shape
+    # overlap-discard tiling is approximate for window attention: assert
+    # PSNR-level equivalence, not bit equality.
+    assert compute_psnr(tiled, whole) > 40.0
