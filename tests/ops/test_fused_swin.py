@@ -35,7 +35,7 @@ def test_fused_mlp_block_matches():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("size", [(16, 16), (24, 32)])
+@pytest.mark.parametrize("size", [(16, 16), (24, 32), (33, 47)])
 def test_fused_swinir_forward_matches_linen(size):
     model = SwinIR.build(scale=2, **SMALL)
     x = np.random.default_rng(0).standard_normal((1, *size, 3), dtype=np.float32)
@@ -82,7 +82,7 @@ def test_fused_swinfir_forward_matches_linen():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("size", [(16, 16), (24, 40)])
+@pytest.mark.parametrize("size", [(16, 16), (24, 40), (33, 47)])
 def test_fused_hat_forward_matches_linen(size):
     from studiosr_tpu.models.hat import HAT
 
