@@ -178,13 +178,95 @@ class _FeedForward(nn.Module):
         return nn.Dense(self.dim, name="net.3")(x)
 
 
+def _shuffle_grid(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """Spatial perfect-shuffle making grid partition a block partition:
+    ``_grid_partition(x) == _block_partition(_shuffle_grid(x))``. A pure
+    permutation (two XLA transposes), so grid attention can ride the same
+    map-level fused custom-VJP block as block attention."""
+    b, h, w, c = x.shape
+    nx, ny = h // wh, w // ww
+    x = x.reshape(b, wh, nx, w, c).transpose(0, 2, 1, 3, 4).reshape(b, h, w, c)
+    return x.reshape(b, h, ww, ny, c).transpose(0, 1, 3, 2, 4).reshape(b, h, w, c)
+
+
+def _unshuffle_grid(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """Inverse of :func:`_shuffle_grid`."""
+    b, h, w, c = x.shape
+    nx, ny = h // wh, w // ww
+    x = x.reshape(b, nx, wh, w, c).transpose(0, 2, 1, 3, 4).reshape(b, h, w, c)
+    return x.reshape(b, h, ny, ww, c).transpose(0, 1, 3, 2, 4).reshape(b, h, w, c)
+
+
+class _DenseKernelParam(nn.Module):
+    """Declare a bias-free ``nn.Dense``'s kernel (same name/init) without
+    applying it — the fused custom-VJP ops consume raw arrays."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), (self.in_features, self.features))
+
+
+class _AttnRawParams(nn.Module):
+    """Parameter tree of :class:`_Attention` (identical paths/inits) returned
+    as raw arrays for the fused-training custom VJP."""
+
+    dim: int
+    dim_head: int
+    window_size: int
+    static: bool
+
+    @nn.compact
+    def __call__(self):
+        from studiosr_tpu.models.swinir import _LayerNormParams
+
+        heads = self.dim // self.dim_head
+        s_in = b_in = None
+        if not self.static:
+            s_in, b_in = _LayerNormParams(self.dim, name="norm")()
+        wqkv = _DenseKernelParam(self.dim, 3 * self.dim, name="to_qkv")()
+        bias = None
+        if self.static:
+            table = nn.Embed((2 * self.window_size - 1) ** 2, heads, name="rel_pos_bias")
+            rpi = relative_position_index(self.window_size)
+            bias = table(jnp.asarray(rpi)).transpose(2, 0, 1)
+        wproj = _DenseKernelParam(self.dim, self.dim, name="to_out.0")()
+        return s_in, b_in, wqkv, bias, wproj
+
+
+class _FFRawParams(nn.Module):
+    """Parameter tree of :class:`_FeedForward` (identical paths/inits)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        from studiosr_tpu.models.swinir import _DenseParams
+
+        w1, b1 = _DenseParams(self.dim, self.dim * self.mult, name="net.0")()
+        w2, b2 = _DenseParams(self.dim * self.mult, self.dim, name="net.3")()
+        return w1, b1, w2, b2
+
+
 class _AttentionPair(nn.Module):
     """PreNorm attention + PreNorm feed-forward on partitioned tokens.
 
     ``prefix_attn``/``prefix_ff`` carry the torch Sequential naming, which
     differs between the static (``stages.s.d.1.{1,2}``) and adaptive
     (``stages.s.i.{attention,feedforward}``) layouts.
-    """
+
+    ``fused_train=True`` routes both halves through the custom-VJP fused
+    blocks (ops/attn_vjp.py, ops/pallas/mlp_vjp.py — the SwinIR/HAT
+    pattern): identical parameter tree, Pallas forward + one-pass Pallas
+    backward on TPU, flash-style recompute (no (B', heads, N, N) f32
+    score residuals or cotangents in HBM). Block attention maps directly
+    onto the window kernels; grid attention becomes block attention of a
+    perfect-shuffle permuted map (:func:`_shuffle_grid`); adaptive mode's
+    extra inner LayerNorm is handled by running the outer LN in plain XLA
+    and re-basing the fused block's residual (exact in f32)."""
 
     dim: int
     dim_head: int
@@ -192,15 +274,62 @@ class _AttentionPair(nn.Module):
     static: bool
     grid: bool
     fused: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+        attn_name = "1" if self.static else "attention"
+        ff_name = "2" if self.static else "feedforward"
+
+        if self.fused_train and wh == ww:
+            from studiosr_tpu.models.swinir import _LayerNormParams
+            from studiosr_tpu.ops.attn_vjp import attention_map_vjp
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+
+            b, h, w, c = x.shape
+            heads = self.dim // self.dim_head
+            ws = wh
+            s1, b1 = _LayerNormParams(c, name=f"{attn_name}.norm")()
+            s_in, b_in, wqkv, bias, wproj = _AttnRawParams(
+                self.dim, self.dim_head, self.window_size, self.static, name=f"{attn_name}.fn"
+            )()
+            s2, b2 = _LayerNormParams(c, name=f"{ff_name}.norm")()
+            w1, fb1, w2, fb2 = _FFRawParams(self.dim, name=f"{ff_name}.fn")()
+
+            # _Attention has no qkv/proj biases: zero constants get dropped
+            # gradients (they are not parameters).
+            zb3 = jnp.zeros((3 * c,), jnp.float32)
+            zb1 = jnp.zeros((c,), jnp.float32)
+            if self.grid:
+                x = _shuffle_grid(x, wh, ww)
+            if self.static:
+                x = attention_map_vjp(
+                    x, s1, b1, wqkv, zb3, wproj, zb1, bias, None, None, 0, heads, ws
+                )
+            else:
+                # Adaptive: x + proj(attn(LN_in(LN_out(x)))). Run LN_out in
+                # XLA, then re-base the fused block's internal residual:
+                # x + (block(ln) - ln) with block(ln) = ln + proj(attn(LN_in(ln))).
+                zbias = jnp.zeros((heads, ws * ws, ws * ws), jnp.float32)
+                x32 = x.astype(jnp.float32)
+                mu = jnp.mean(x32, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+                ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * s1 + b1).astype(x.dtype)
+                y = attention_map_vjp(
+                    ln, s_in, b_in, wqkv, zb3, wproj, zb1, zbias, None, None, 0, heads, ws
+                )
+                x = (x32 + (y.astype(jnp.float32) - ln.astype(jnp.float32))).astype(x.dtype)
+            flat = x.reshape(b * h * w, c)
+            flat = mlp_block_vjp(flat, s2, b2, w1, fb1, w2, fb2)
+            x = flat.reshape(b, h, w, c)
+            if self.grid:
+                x = _unshuffle_grid(x, wh, ww)
+            return x
+
         partition = _grid_partition if self.grid else _block_partition
         reverse = _grid_reverse if self.grid else _block_reverse
         tokens, grid_shape = partition(x, wh, ww)
 
-        attn_name = "1" if self.static else "attention"
-        ff_name = "2" if self.static else "feedforward"
         y = LayerNorm(name=f"{attn_name}.norm")(tokens)
         y = _Attention(
             self.dim,
@@ -229,6 +358,7 @@ class MaxSRModule(nn.Module):
     mbconv_shrinkage_rate: float = 0.25
     dropout: float = 0.1
     fused: bool = False  # Pallas fused attention (serving; no extra params)
+    fused_train: bool = False  # custom-VJP fused blocks (training)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -239,8 +369,12 @@ class MaxSRModule(nn.Module):
         # otherwise saves the (B*nW, heads, N, N) f32 score/prob maps of all
         # 32 pairs as residuals (~4 GB at batch-32 training shapes). Free at
         # inference (forward-only jit drops the recompute). Same pattern as
-        # models/swinir.py RSTB remat.
-        pair_cls = nn.remat(_AttentionPair, static_argnums=(2, 3))
+        # models/swinir.py RSTB remat. Under fused_train the custom VJPs
+        # recompute internally, so the outer remat is dropped.
+        if self.fused_train:
+            pair_cls = _AttentionPair
+        else:
+            pair_cls = nn.remat(_AttentionPair, static_argnums=(2, 3))
 
         if not self.adaptive:
             pad_h = (ws - h % ws) % ws
@@ -276,6 +410,7 @@ class MaxSRModule(nn.Module):
                         static=False,
                         grid=False,
                         fused=self.fused,
+                        fused_train=self.fused_train,
                         name=f"stages.{s}.{base + 1}",
                     )(x, wh, ww_)
                     x = pair_cls(
@@ -285,6 +420,7 @@ class MaxSRModule(nn.Module):
                         static=False,
                         grid=True,
                         fused=self.fused,
+                        fused_train=self.fused_train,
                         name=f"stages.{s}.{base + 2}",
                     )(x, wh, ww_)
                     # Like the reference, x stays padded (wh^2 is a fixpoint of
@@ -304,6 +440,7 @@ class MaxSRModule(nn.Module):
                         static=True,
                         grid=False,
                         fused=self.fused,
+                        fused_train=self.fused_train,
                         name=f"stages.{s}.{dblock}.1",
                     )(x, ws, ws)
                     x = pair_cls(
@@ -313,6 +450,7 @@ class MaxSRModule(nn.Module):
                         static=True,
                         grid=True,
                         fused=self.fused,
+                        fused_train=self.fused_train,
                         name=f"stages.{s}.{dblock}.2",
                     )(x, ws, ws)
             stage_outputs.append(x)

@@ -168,17 +168,19 @@ def test_attention_block_fallback_on_non_window_multiple():
 def test_training_backward_kernels_engage_at_driver_shape():
     """The Pallas attention-backward kernels must ENGAGE at the driver's
     training geometry (batch 32, 64px crops): SwinIR ws=8/180ch via the pair
-    kernel, HAT ws=16/180ch via v5 — the silent-fallback class that cost
-    round 2 applies to training shapes too."""
+    kernel, HAT ws=16/180ch via v5, MaxSR ws=8/128ch via the pair kernel
+    (block and grid attention share it via the shuffle identity) — the
+    silent-fallback class that cost round 2 applies to training shapes too."""
     import jax.numpy as jnp
 
     from studiosr_tpu.ops.pallas.attn_bwd import pairs_attention_bwd, v5_attention_bwd
 
-    b, hw, c = 32, 64, 180
+    b, hw = 32, 64
     arr = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
-    for fn, heads, ws, name in (
-        (pairs_attention_bwd, 6, 8, "pairs_attention_bwd"),
-        (v5_attention_bwd, 6, 16, "v5_attention_bwd"),
+    for fn, heads, ws, c, name in (
+        (pairs_attention_bwd, 6, 8, 180, "pairs_attention_bwd"),
+        (v5_attention_bwd, 6, 16, 180, "v5_attention_bwd"),
+        (pairs_attention_bwd, 4, 8, 128, "pairs_attention_bwd"),
     ):
         n = ws * ws
         engagement.reset()

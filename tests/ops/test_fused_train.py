@@ -172,3 +172,84 @@ def test_swinfir_fused_train_grads_match_autodiff():
             np.asarray(got), np.asarray(leaf), atol=2e-5, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+MAXSR_CFG = dict(scale=2, dim=32, dim_head=8, depth=(1, 1), window_size=4, dropout=0.0)
+
+
+def test_maxsr_grid_shuffle_identity():
+    """_shuffle_grid turns grid partition into block partition (and
+    _unshuffle_grid inverts it) — the identity the fused grid-attention
+    path rides."""
+    from studiosr_tpu.models.maxsr import (
+        _block_partition,
+        _grid_partition,
+        _shuffle_grid,
+        _unshuffle_grid,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 20, 5)), jnp.float32)
+    for wh, ww in [(4, 4), (3, 5), (6, 2)]:
+        g, _ = _grid_partition(x, wh, ww)
+        bshuf, _ = _block_partition(_shuffle_grid(x, wh, ww), wh, ww)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(bshuf))
+        np.testing.assert_array_equal(
+            np.asarray(_unshuffle_grid(_shuffle_grid(x, wh, ww), wh, ww)), np.asarray(x)
+        )
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_maxsr_fused_train_param_tree_matches(adaptive):
+    from studiosr_tpu.models.maxsr import MaxSRModule
+
+    plain = MaxSRModule(**MAXSR_CFG, adaptive=adaptive)
+    fused = MaxSRModule(**MAXSR_CFG, adaptive=adaptive, fused_train=True)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    assert _tree_paths(vp["params"]) == _tree_paths(vf["params"])
+    # Same inits too: cloning a trained plain module to fused_train=True (the
+    # Trainer's wiring) must be a pure reparameterization.
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(vp), jax.tree_util.tree_leaves_with_path(vf)
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_maxsr_fused_train_grads_match_autodiff(adaptive):
+    """Covers block AND grid attention (both run in every pair), the static
+    rel-pos-bias table gradient, and (adaptive) the inner-LN re-based
+    residual. MBConv dropout stays on to exercise the rng plumbing."""
+    from studiosr_tpu.models.maxsr import MaxSRModule
+
+    cfg = {**MAXSR_CFG, "dropout": 0.1}
+    plain = MaxSRModule(**cfg, adaptive=adaptive)
+    fused = MaxSRModule(**cfg, adaptive=adaptive, fused_train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 3)) * 0.1, jnp.float32)
+    gt = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 16, 3)) * 0.1, jnp.float32)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, module):
+        out, _ = module.apply(
+            {**variables, "params": params},
+            x,
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(jnp.abs(out - gt))
+
+    lp, gp = jax.value_and_grad(loss)(variables["params"], plain)
+    lf, gf = jax.value_and_grad(loss)(variables["params"], fused)
+
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flat_p:
+        got = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
