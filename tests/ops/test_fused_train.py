@@ -253,3 +253,16 @@ def test_maxsr_fused_train_grads_match_autodiff(adaptive):
             np.asarray(got), np.asarray(leaf), atol=2e-5, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_maxsr_fused_train_nonsquare_adaptive_falls_back():
+    """Adaptive mode on a non-square map gives wh != ww; the fused pair
+    declines (plain path, identical params) and the module still runs."""
+    from studiosr_tpu.models.maxsr import MaxSRModule
+
+    fused = MaxSRModule(**MAXSR_CFG, adaptive=True, fused_train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 12, 3)) * 0.1, jnp.float32)
+    variables = fused.init(jax.random.PRNGKey(0), x)
+    out, _ = fused.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["batch_stats"])
+    assert out.shape == (1, 16, 24, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
