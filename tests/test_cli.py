@@ -1,0 +1,71 @@
+"""CLI contract (``python -m studiosr_tpu``): flag plumbing, directory
+walking, tiled / self-ensemble branches, and output naming — offline, with
+``from_pretrained`` monkeypatched to a tiny locally-built model (the real
+zoo download is network-gated). Reference CLI: ``studiosr/__main__.py``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from studiosr_tpu.models import SwinIR
+from studiosr_tpu.utils import imread, imwrite
+
+
+@pytest.fixture()
+def tiny_pretrained(monkeypatch):
+    model = SwinIR.build(
+        scale=2, embed_dim=16, depths=(2,), num_heads=(2,), window_size=8,
+        mlp_ratio=2.0, upsampler="pixelshuffledirect", fast_init=True,
+    )
+    monkeypatch.setattr(SwinIR, "from_pretrained", classmethod(lambda cls, scale=4, **kw: model))
+    return model
+
+
+def _run_cli(monkeypatch, argv):
+    from studiosr_tpu.__main__ import main
+
+    monkeypatch.setattr(sys, "argv", ["studiosr_tpu"] + argv)
+    main()
+
+
+def _write_images(d, n=2, size=20):
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        imwrite(str(d / f"img{i}.png"), rng.randint(0, 255, (size, size + 4, 3), np.uint8))
+
+
+def test_cli_single_image(tmp_path, monkeypatch, tiny_pretrained):
+    _write_images(tmp_path, n=1)
+    out = tmp_path / "out"
+    _run_cli(monkeypatch, ["--image", str(tmp_path / "img0.png"), "--scale", "2",
+                           "--model", "swinir", "--output", str(out)])
+    produced = os.listdir(out)
+    assert produced == ["img0.swinir_x2.png"]
+    sr = imread(str(out / produced[0]))
+    assert sr.shape == (40, 48, 3)
+
+
+def test_cli_directory_and_self_ensemble(tmp_path, monkeypatch, tiny_pretrained):
+    _write_images(tmp_path, n=2)
+    out = tmp_path / "out"
+    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+                           "--output", str(out), "--self-ensemble"])
+    assert sorted(os.listdir(out)) == ["img0.swinir_x2.png", "img1.swinir_x2.png"]
+
+
+def test_cli_tiled_matches_whole(tmp_path, monkeypatch, tiny_pretrained):
+    _write_images(tmp_path, n=1, size=24)
+    out_whole, out_tiled = tmp_path / "w", tmp_path / "t"
+    img = str(tmp_path / "img0.png")
+    _run_cli(monkeypatch, ["--image", img, "--scale", "2", "--model", "swinir",
+                           "--output", str(out_whole)])
+    _run_cli(monkeypatch, ["--image", img, "--scale", "2", "--model", "swinir",
+                           "--output", str(out_tiled), "--tile", "16", "--tile-overlap", "4"])
+    a = imread(str(out_whole / "img0.swinir_x2.png"))
+    b = imread(str(out_tiled / "img0.swinir_x2.png"))
+    assert a.shape == b.shape
+    # uint8 rounding at tile seams: allow 1 LSB.
+    assert int(np.max(np.abs(a.astype(int) - b.astype(int)))) <= 1
