@@ -61,8 +61,9 @@ def _wait_for_backend(retries: int = 6, probe_timeout: float = 120.0) -> None:
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"backend probe {attempt + 1}/{retries} failed; retrying", file=sys.stderr)
-        time.sleep(30)
+        if attempt + 1 < retries:
+            print(f"backend probe {attempt + 1}/{retries} failed; retrying", file=sys.stderr)
+            time.sleep(30)
     print("backend never came up; proceeding (jax will raise)", file=sys.stderr)
 
 

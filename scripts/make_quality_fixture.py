@@ -13,13 +13,21 @@ Creates ``tests/fixtures/quality/``:
       - SwinIR-tiny x4 and HAT-tiny x4 (round-3 VERDICT item 3: PSNR floors
         through the configurations actually benched — ``enable_fused(True)``,
         ``half()``, ``inference_tiled`` and ``hat_fast_forward`` — with x4
-        classical tails and odd-window flip padding on the assertion path).
+        classical tails and odd-window flip padding on the assertion path),
+      - MaxSR-tiny x4 (fused Pallas attention + batch_stats registry
+        round-trip), SwinFIR-tiny x4 (MXU-DFT SFB on the fused path),
+      - SwinIR-tiny x2 and x3 (the single-shuffle fused tails; the x3 HR
+        images are mod-cropped — 128 is not a x3 multiple).
 
 Run once; outputs are committed. Deterministic (fixed seeds).
 
     python scripts/make_quality_fixture.py            # ESPCN x2
     python scripts/make_quality_fixture.py --swinir
     python scripts/make_quality_fixture.py --hat
+    python scripts/make_quality_fixture.py --maxsr
+    python scripts/make_quality_fixture.py --swinfir
+    python scripts/make_quality_fixture.py --swinir-x2
+    python scripts/make_quality_fixture.py --swinir-x3
 """
 
 from __future__ import annotations
@@ -95,7 +103,8 @@ def make_fixture(
     through the registry checkpoint scheme.
 
     ``crop`` is the LR crop (a window multiple for the transformer models);
-    ``lr_suffix`` names the LR pngs (``_lr`` for x2, ``_lrx4`` for x4 — the
+    ``lr_suffix`` names the LR pngs (``_lr`` for the original ESPCN x2
+    fixture, ``_lrx{scale}`` for the per-scale transformer fixtures — the
     x4 fixtures share one set of LR images, re-written identically since
     make_images is deterministic)."""
     import jax

@@ -148,6 +148,22 @@ class Model:
         """Jitted eval forward on an NHWC float batch."""
         return self._jit_forward(self.variables, x)
 
+    def _forward_sharded(self, variables, x):
+        """Forward for a DEVICE-SHARDED batch (mesh-sharded tiled
+        inference). Default: identical to :meth:`_forward`; models whose
+        fused serving contains per-image sequential kernels (SwinIR/HAT
+        tail ``lax.map``) override it to keep the batch parallel."""
+        return self._forward(variables, x)
+
+    def sharded_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Jitted :meth:`_forward_sharded`, cached per serving
+        configuration (invalidated whenever ``_jit_forward`` is rebuilt —
+        ``enable_fused``/``astype``/``set_matmul_precision``)."""
+        cache = getattr(self, "_sharded_fwd_cache", None)
+        if cache is None or cache[0] is not self._jit_forward:
+            self._sharded_fwd_cache = (self._jit_forward, jax.jit(self._forward_sharded))
+        return self._sharded_fwd_cache[1](self.variables, x)
+
     def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
         """Train-mode apply (dropout active, batch stats updating)."""
         return self.module.apply(variables, x, train=True, rngs=rngs, mutable=list(mutable))

@@ -370,7 +370,7 @@ class HAT(Model):
         self._jit_forward = jax.jit(self._forward)
         return self
 
-    def _forward(self, variables, x):
+    def _forward(self, variables, x, tail_batched_map: bool = True):
         if getattr(self, "_fused", False):
             from studiosr_tpu.serving.hat_fast import hat_fast_forward
 
@@ -378,14 +378,20 @@ class HAT(Model):
             if dtype is not None:
                 x = x.astype(dtype)
             interpret = jax.default_backend() == "cpu"
+            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map)
             precision = getattr(self, "_matmul_precision", None)
             if precision and dtype is None:  # f32 quality mode through the fused path
                 with jax.default_matmul_precision(precision):
-                    out = hat_fast_forward(variables, x, self.config, interpret=interpret)
+                    out = hat_fast_forward(variables, x, self.config, **kw)
             else:
-                out = hat_fast_forward(variables, x, self.config, interpret=interpret)
+                out = hat_fast_forward(variables, x, self.config, **kw)
             return out.astype(jnp.float32)
         return super()._forward(variables, x)
+
+    def _forward_sharded(self, variables, x):
+        # See SwinIR._forward_sharded: no per-image tail lax.map under a
+        # device-sharded batch.
+        return self._forward(variables, x, tail_batched_map=False)
 
     @classmethod
     def build(

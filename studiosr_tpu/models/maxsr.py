@@ -370,11 +370,15 @@ class MaxSRModule(nn.Module):
         # 32 pairs as residuals (~4 GB at batch-32 training shapes). Free at
         # inference (forward-only jit drops the recompute). Same pattern as
         # models/swinir.py RSTB remat. Under fused_train the custom VJPs
-        # recompute internally, so the outer remat is dropped.
-        if self.fused_train:
-            pair_cls = _AttentionPair
-        else:
-            pair_cls = nn.remat(_AttentionPair, static_argnums=(2, 3))
+        # recompute internally, so the outer remat is dropped — but only
+        # where the fused pair actually engages (wh == ww); a non-square
+        # adaptive map falls back to the plain path, which must stay
+        # rematted or the score residuals blow up again.
+        pair_remat = nn.remat(_AttentionPair, static_argnums=(2, 3))
+
+        def pair_cls(*a, _wh=None, _ww=None, **kw):
+            fused_engages = self.fused_train and (_wh == _ww)
+            return (_AttentionPair if fused_engages else pair_remat)(*a, **kw)
 
         if not self.adaptive:
             pad_h = (ws - h % ws) % ws
@@ -412,6 +416,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         fused_train=self.fused_train,
                         name=f"stages.{s}.{base + 1}",
+                        _wh=wh, _ww=ww_,
                     )(x, wh, ww_)
                     x = pair_cls(
                         self.dim,
@@ -422,6 +427,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         fused_train=self.fused_train,
                         name=f"stages.{s}.{base + 2}",
+                        _wh=wh, _ww=ww_,
                     )(x, wh, ww_)
                     # Like the reference, x stays padded (wh^2 is a fixpoint of
                     # the window rule) until the post-stage crop (maxsr.py:459).
@@ -442,6 +448,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         fused_train=self.fused_train,
                         name=f"stages.{s}.{dblock}.1",
+                        _wh=ws, _ww=ws,
                     )(x, ws, ws)
                     x = pair_cls(
                         self.dim,
@@ -452,6 +459,7 @@ class MaxSRModule(nn.Module):
                         fused=self.fused,
                         fused_train=self.fused_train,
                         name=f"stages.{s}.{dblock}.2",
+                        _wh=ws, _ww=ws,
                     )(x, ws, ws)
             stage_outputs.append(x)
 

@@ -331,7 +331,7 @@ class SwinIR(Model):
         self._jit_forward = jax.jit(self._forward)
         return self
 
-    def _forward(self, variables, x):
+    def _forward(self, variables, x, tail_batched_map: bool = True):
         if getattr(self, "_fused", False):
             from studiosr_tpu.serving import swinir_fast_forward
 
@@ -339,14 +339,21 @@ class SwinIR(Model):
             if dtype is not None:
                 x = x.astype(dtype)
             interpret = jax.default_backend() == "cpu"
+            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map)
             precision = getattr(self, "_matmul_precision", None)
             if precision and dtype is None:  # f32 quality mode through the fused path
                 with jax.default_matmul_precision(precision):
-                    out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
+                    out = swinir_fast_forward(variables, x, self.config, **kw)
             else:
-                out = swinir_fast_forward(variables, x, self.config, interpret=interpret)
+                out = swinir_fast_forward(variables, x, self.config, **kw)
             return out.astype(jnp.float32)
         return super()._forward(variables, x)
+
+    def _forward_sharded(self, variables, x):
+        # Device-sharded batch (mesh-sharded tiled inference): the fused
+        # tails' per-image lax.map would serialize the batch across chips —
+        # take the batch-parallel XLA tail instead.
+        return self._forward(variables, x, tail_batched_map=False)
 
     @classmethod
     def build(

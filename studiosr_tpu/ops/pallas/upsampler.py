@@ -206,13 +206,14 @@ def _pick_tile(h: int, w: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "batched_map"))
 def fused_upsample_x4(
     x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
     w0, b0,  # (3,3,cin,4*cin) conv before first shuffle
     w1, b1,  # (3,3,cin,4*cin) conv before second shuffle
     w2, b2,  # (3,3,cin,n_colors) conv_last
     interpret: bool = False,
+    batched_map: bool = True,
 ):
     """x4 pixelshuffle tail in one pass. Returns (1, 4H, 4W, n_colors), or
     ``None`` when the shape doesn't fit the fused layout (caller falls back
@@ -225,13 +226,19 @@ def fused_upsample_x4(
     n, h, w, cin = x.shape
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
-    if n != 1 and tile != 0 and w0.shape[-1] == 4 * cin and w1.shape[-1] == 4 * cin:
+    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == 4 * cin and w1.shape[-1] == 4 * cin:
         # The kernel is single-image (its manual-DMA prefetch ring orders a
         # 2-D tile grid); batch via lax.map — the grid was sequential anyway,
-        # so a per-image scan loses no parallelism (tiled serving tile_batch).
+        # so a per-image scan loses no parallelism (tiled serving tile_batch)
+        # SINGLE-CHIP. Callers with a device-sharded batch (mesh-sharded
+        # tiled inference) pass batched_map=False: the sequential map would
+        # serialize the batch across chips, where the XLA tail runs
+        # batch-parallel.
         return jax.lax.map(lambda one: fused_upsample_x4(one[None], w0, b0, w1, b1, w2, b2, interpret=interpret)[0], x)
     if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
         why = []
+        if n != 1 and not batched_map:
+            why.append("batched_map disabled (device-sharded batch)")
         if tile == 0:
             why.append(f"no valid tile for {h}x{w}")
         if w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
@@ -415,13 +422,14 @@ def _tail_kernel_s(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s", "interpret", "batched_map"))
 def fused_upsample_s(
     x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
     w0, b0,  # (3,3,cin,s^2*cin) conv before the shuffle
     w2, b2,  # (3,3,cin,n_colors) conv_last
     s: int = 2,
     interpret: bool = False,
+    batched_map: bool = True,
 ):
     """Single-shuffle tail (x2/x3 classical) in one pass. Returns
     (1, sH, sW, n_colors) or ``None`` on layout mismatch."""
@@ -433,11 +441,14 @@ def fused_upsample_s(
     n, h, w, cin = x.shape
     n_colors = w2.shape[-1]
     tile = _pick_tile(h, w)
-    if n != 1 and tile != 0 and w0.shape[-1] == s * s * cin:
-        # Batch via lax.map; see fused_upsample_x4 (sequential grid anyway).
+    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == s * s * cin:
+        # Batch via lax.map; see fused_upsample_x4 (sequential grid anyway —
+        # single-chip only; sharded-batch callers pass batched_map=False).
         return jax.lax.map(lambda one: fused_upsample_s(one[None], w0, b0, w2, b2, s=s, interpret=interpret)[0], x)
     if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
         why = []
+        if n != 1 and not batched_map:
+            why.append("batched_map disabled (device-sharded batch)")
         if tile == 0:
             why.append(f"no valid tile for {h}x{w}")
         if w0.shape[-1] != s * s * cin:

@@ -100,7 +100,12 @@ def tiled_inference(
             from studiosr_tpu.parallel.mesh import shard_batch
 
             x = shard_batch(x, mesh)
-        sr = np.asarray(model(x)) * in_range
+            # sharded_forward: no per-image tail lax.map (it would serialize
+            # the device-sharded batch); tails take the batch-parallel XLA
+            # path, block kernels ride the grid batch dim as usual.
+            sr = np.asarray(model.sharded_forward(x)) * in_range
+        else:
+            sr = np.asarray(model(x)) * in_range
 
         for j, (y, x0) in enumerate(coords[start : start + batch]):
             oy, ox = y * scale, x0 * scale

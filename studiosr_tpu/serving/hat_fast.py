@@ -102,6 +102,7 @@ def hat_fast_forward(
     x: jnp.ndarray,
     config: Dict[str, Any],
     interpret: bool = False,
+    tail_batched_map: bool = True,
     _ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
     """``_ablate``: perf-dissection hook (scripts/exp_hat_ablate.py) — subsets
@@ -301,7 +302,7 @@ def hat_fast_forward(
             up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
             up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
             params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
-            interpret=interpret,
+            interpret=interpret, batched_map=tail_batched_map,
         )
         if fused_tail is not None:
             x = (fused_tail + mean) * img_range
@@ -313,7 +314,7 @@ def hat_fast_forward(
             x,
             up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
             params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
-            s=scale, interpret=interpret,
+            s=scale, interpret=interpret, batched_map=tail_batched_map,
         )
         if fused_tail is not None:
             x = (fused_tail + mean) * img_range

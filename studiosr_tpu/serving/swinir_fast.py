@@ -116,6 +116,7 @@ def swinir_fast_forward(
     x: jnp.ndarray,
     config: Dict[str, Any],
     interpret: bool = False,
+    tail_batched_map: bool = True,
     use_fused_attn: bool = True,
     use_fused_mlp: bool = True,
     _ablate: frozenset = frozenset(),
@@ -279,7 +280,7 @@ def swinir_fast_forward(
                 up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
                 up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
                 params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
-                interpret=interpret,
+                interpret=interpret, batched_map=tail_batched_map,
             )
             if fused_tail is not None:
                 x = (fused_tail + mean) * img_range
@@ -291,7 +292,7 @@ def swinir_fast_forward(
                 x,
                 up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
                 params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
-                s=scale, interpret=interpret,
+                s=scale, interpret=interpret, batched_map=tail_batched_map,
             )
             if fused_tail is not None:
                 x = (fused_tail + mean) * img_range

@@ -79,86 +79,30 @@ def test_pretrained_tiled_matches_whole_image():
     assert (diff > 0).mean() < 0.01
 
 
-SWINIR_CKPT = os.path.join(FIXTURES, "swinir_ckpt")
 
-swinir_fixture = pytest.mark.skipif(
-    not os.path.exists(os.path.join(SWINIR_CKPT, "best.model.ckpt")),
-    reason="swinir quality fixture not generated",
-)
-
-
-def _load_swinir():
+def _load_fixture_pairs(ckpt_dir, model_name, lr_suffix, mod_crop=1):
+    """Load a trained fixture model + its (lr, hr) image pairs."""
     from studiosr_tpu.utils.helpers import imread
     from studiosr_tpu.zoo.registry import load_model
 
-    model = load_model(SWINIR_CKPT, "swinir", tag="best")
+    model = load_model(ckpt_dir, model_name, tag="best")
     pairs = []
     for i in range(3):
         hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
-        lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
+        if mod_crop > 1:  # mod-crop like the fixture generator
+            hr = hr[: hr.shape[0] // mod_crop * mod_crop, : hr.shape[1] // mod_crop * mod_crop]
+        lr = imread(os.path.join(FIXTURES, f"img{i}{lr_suffix}.png"))
         pairs.append((lr, hr))
     return model, pairs
 
 
-@swinir_fixture
-def test_swinir_trained_fused_paths_quality():
-    """Trained-weights PSNR floors through the configurations actually
-    benched (VERDICT round-2 item 3): plain f32, fused f32, fused bf16 —
-    the fused path on trained weights must beat bicubic and stay within a
-    small delta of the plain path."""
+def _assert_fused_quality_floors(load):
+    """The shared trained-weights floor protocol for every fused serving
+    component: plain f32 beats bicubic (+0.3 dB); fused f32 matches plain
+    (<0.05 dB — same math in Pallas kernels, interpret mode on CPU); fused
+    bf16 still beats bicubic (+0.2) and stays within 0.5 dB of f32
+    (quantization noise). ``load()`` returns (model, pairs)."""
     from studiosr_tpu.utils.metrics import compute_psnr
-
-    model, pairs = _load_swinir()
-    deltas_fused, deltas_bf16 = [], []
-    for lr, hr in pairs:
-        plain = compute_psnr(model.inference(lr), hr)
-        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
-        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
-
-        model.enable_fused(True)
-        fused = compute_psnr(model.inference(lr), hr)
-        model.enable_fused(False)
-        # fused f32 runs the same math in Pallas kernels (interpret mode on
-        # CPU): parity to a small tolerance on trained weights.
-        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
-        deltas_fused.append(fused - plain)
-
-        model.half().enable_fused(True)
-        bf16 = compute_psnr(model.inference(lr), hr)
-        # bf16 carries quantization noise; it must still clearly beat
-        # bicubic and stay within ~0.5 dB of the f32 path.
-        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
-        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
-        deltas_bf16.append(bf16 - plain)
-        # restore f32 weights for the next image
-        model, _ = _load_swinir()
-
-
-HAT_CKPT = os.path.join(FIXTURES, "hat_ckpt")
-
-hat_fixture = pytest.mark.skipif(
-    not os.path.exists(os.path.join(HAT_CKPT, "best.model.ckpt")),
-    reason="hat quality fixture not generated",
-)
-
-
-@hat_fixture
-def test_hat_trained_fused_paths_quality():
-    """Trained-weights PSNR floors for the second flagship through its
-    benched configurations: plain f32, fused serving path (hat_fast_forward
-    — CAB trunk + window attention + OCAB), and fused bf16."""
-    from studiosr_tpu.utils.helpers import imread
-    from studiosr_tpu.utils.metrics import compute_psnr
-    from studiosr_tpu.zoo.registry import load_model
-
-    def load():
-        model = load_model(HAT_CKPT, "hat", tag="best")
-        pairs = []
-        for i in range(3):
-            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
-            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
-            pairs.append((lr, hr))
-        return model, pairs
 
     model, pairs = load()
     for lr, hr in pairs:
@@ -176,6 +120,43 @@ def test_hat_trained_fused_paths_quality():
         assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
         assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
         model, _ = load()  # restore f32 weights for the next image
+
+
+SWINIR_CKPT = os.path.join(FIXTURES, "swinir_ckpt")
+
+swinir_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SWINIR_CKPT, "best.model.ckpt")),
+    reason="swinir quality fixture not generated",
+)
+
+
+def _load_swinir():
+    return _load_fixture_pairs(SWINIR_CKPT, "swinir", "_lrx4")
+
+
+@swinir_fixture
+def test_swinir_trained_fused_paths_quality():
+    """Trained-weights PSNR floors through the configurations actually
+    benched (VERDICT round-2 item 3): plain f32, fused f32, fused bf16 —
+    the fused path on trained weights must beat bicubic and stay within a
+    small delta of the plain path (_assert_fused_quality_floors)."""
+    _assert_fused_quality_floors(_load_swinir)
+
+
+HAT_CKPT = os.path.join(FIXTURES, "hat_ckpt")
+
+hat_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(HAT_CKPT, "best.model.ckpt")),
+    reason="hat quality fixture not generated",
+)
+
+
+@hat_fixture
+def test_hat_trained_fused_paths_quality():
+    """Trained-weights PSNR floors for the second flagship through its
+    benched configurations: plain f32, fused serving path (hat_fast_forward
+    — CAB trunk + window attention + OCAB), and fused bf16."""
+    _assert_fused_quality_floors(lambda: _load_fixture_pairs(HAT_CKPT, "hat", "_lrx4"))
 
 
 @swinir_fixture
@@ -209,41 +190,13 @@ def test_maxsr_trained_fused_paths_quality():
     (``enable_fused(True)`` routes all block/grid attention pairs through
     window_attention_pallas), and fused bf16. Also the only trained-weights
     check of the MBConv batch_stats round-trip through the registry."""
-    from studiosr_tpu.utils.helpers import imread
-    from studiosr_tpu.utils.metrics import compute_psnr
-    from studiosr_tpu.zoo.registry import load_model
-
-    def load():
-        model = load_model(MAXSR_CKPT, "maxsr", tag="best")
-        pairs = []
-        for i in range(3):
-            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
-            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
-            pairs.append((lr, hr))
-        return model, pairs
-
-    model, pairs = load()
-    stats = model.variables.get("batch_stats", {})
     import jax as _jax
-    import numpy as _np
 
-    leaves = _jax.tree_util.tree_leaves(stats)
-    assert leaves and any(not _np.allclose(_np.asarray(l), 0) for l in leaves), "batch_stats not restored"
-    for lr, hr in pairs:
-        plain = compute_psnr(model.inference(lr), hr)
-        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
-        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
-
-        model.enable_fused(True)
-        fused = compute_psnr(model.inference(lr), hr)
-        model.enable_fused(False)
-        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
-
-        model.half().enable_fused(True)
-        bf16 = compute_psnr(model.inference(lr), hr)
-        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
-        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
-        model, _ = load()  # restore f32 weights for the next image
+    load = lambda: _load_fixture_pairs(MAXSR_CKPT, "maxsr", "_lrx4")
+    model, _ = load()
+    leaves = _jax.tree_util.tree_leaves(model.variables.get("batch_stats", {}))
+    assert leaves and any(not np.allclose(np.asarray(l), 0) for l in leaves), "batch_stats not restored"
+    _assert_fused_quality_floors(load)
 
 
 SWINFIR_CKPT = os.path.join(FIXTURES, "swinfir_ckpt")
@@ -259,35 +212,7 @@ def test_swinfir_trained_fused_paths_quality():
     """Trained-weights PSNR floors for SwinFIR: the fused serving path runs
     the SwinIR block kernels PLUS the MXU-DFT spectral branch (SFB) — this
     is the only trained-weights check of the DFT formulation."""
-    from studiosr_tpu.utils.helpers import imread
-    from studiosr_tpu.utils.metrics import compute_psnr
-    from studiosr_tpu.zoo.registry import load_model
-
-    def load():
-        model = load_model(SWINFIR_CKPT, "swinfir", tag="best")
-        pairs = []
-        for i in range(3):
-            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
-            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx4.png"))
-            pairs.append((lr, hr))
-        return model, pairs
-
-    model, pairs = load()
-    for lr, hr in pairs:
-        plain = compute_psnr(model.inference(lr), hr)
-        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
-        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
-
-        model.enable_fused(True)
-        fused = compute_psnr(model.inference(lr), hr)
-        model.enable_fused(False)
-        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
-
-        model.half().enable_fused(True)
-        bf16 = compute_psnr(model.inference(lr), hr)
-        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
-        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
-        model, _ = load()  # restore f32 weights for the next image
+    _assert_fused_quality_floors(lambda: _load_fixture_pairs(SWINFIR_CKPT, "swinfir", "_lrx4"))
 
 
 def _swinir_s_ckpt(scale):
@@ -300,38 +225,9 @@ def test_swinir_trained_fused_tail_quality_x2_x3(scale):
     (ops/pallas/upsampler.fused_upsample_s) on the serving path — x4 covers
     only the three-conv quadrant-planar tail, so these pin the other two
     driver quality scales."""
-    from studiosr_tpu.utils.helpers import imread
-    from studiosr_tpu.utils.metrics import compute_psnr
-    from studiosr_tpu.zoo.registry import load_model
-
     ckpt = _swinir_s_ckpt(scale)
     if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
         pytest.skip(f"swinir x{scale} quality fixture not generated")
-
-    def load():
-        model = load_model(ckpt, "swinir", tag="best")
-        pairs = []
-        for i in range(3):
-            hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
-            # mod-crop like the fixture generator (128 is not a x3 multiple)
-            hr = hr[: hr.shape[0] // scale * scale, : hr.shape[1] // scale * scale]
-            lr = imread(os.path.join(FIXTURES, f"img{i}_lrx{scale}.png"))
-            pairs.append((lr, hr))
-        return model, pairs
-
-    model, pairs = load()
-    for lr, hr in pairs:
-        plain = compute_psnr(model.inference(lr), hr)
-        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
-        assert plain > bicubic + 0.3, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
-
-        model.enable_fused(True)
-        fused = compute_psnr(model.inference(lr), hr)
-        model.enable_fused(False)
-        assert abs(fused - plain) < 0.05, f"fused {fused:.2f} vs plain {plain:.2f}"
-
-        model.half().enable_fused(True)
-        bf16 = compute_psnr(model.inference(lr), hr)
-        assert bf16 > bicubic + 0.2, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
-        assert abs(bf16 - plain) < 0.5, f"bf16 {bf16:.2f} vs plain {plain:.2f}"
-        model, _ = load()  # restore f32 weights for the next image
+    _assert_fused_quality_floors(
+        lambda: _load_fixture_pairs(ckpt, "swinir", f"_lrx{scale}", mod_crop=scale)
+    )
