@@ -122,3 +122,34 @@ def test_tiled_inference_sharded_fused_swinir():
     # overlap-discard tiling is approximate for window attention: assert
     # PSNR-level equivalence, not bit equality.
     assert compute_psnr(tiled, whole) > 40.0
+
+
+def test_sharded_tiled_tails_stay_batch_parallel():
+    """Under a device-sharded tile batch the fused tails must DECLINE
+    (batched_map=False via Model.sharded_forward): their per-image lax.map
+    would serialize the batch across chips where the XLA tail runs
+    batch-parallel. Single-chip tiled serving still engages the fused tail.
+    Output equivalence: the tail math is identical either way."""
+    from studiosr_tpu.models import SwinIR
+    from studiosr_tpu.ops.pallas import engagement
+    from studiosr_tpu.parallel import get_mesh
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = SwinIR.build(
+        scale=4, embed_dim=16, depths=[1], num_heads=[2], window_size=8, fast_init=True
+    )
+    model.enable_fused(True)
+    image = np.random.default_rng(3).integers(0, 256, (48, 64, 3), dtype=np.uint8)
+
+    engagement.reset()
+    sharded = tiled_inference(model, image, tile=24, tile_overlap=8, tile_batch=8, mesh=get_mesh())
+    rec = engagement.counters().get("fused_upsample_x4", {})
+    assert rec.get("fallback", 0) >= 1 and "batched_map disabled" in rec.get("reason", "")
+
+    engagement.reset()
+    single = tiled_inference(model, image, tile=24, tile_overlap=8, tile_batch=8)
+    rec = engagement.counters().get("fused_upsample_x4", {})
+    assert rec.get("engaged", 0) >= 1
+
+    assert sharded.shape == single.shape == (192, 256, 3)
+    assert np.abs(sharded.astype(int) - single.astype(int)).max() <= 1
