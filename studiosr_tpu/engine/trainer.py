@@ -73,6 +73,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         debug_nans: bool = False,
         fused_train: Optional[bool] = None,
+        ema_decay: float = 0.0,
     ) -> None:
         self.model = model
         self.dataset = train_dataset
@@ -124,6 +125,7 @@ class Trainer:
                 )
 
         self.criterion = get_loss(loss_function)
+        self.ema_decay = float(ema_decay)
         self.best_psnr = 0.0
         self.mesh = get_mesh()
         self.tx = build_optimizer(
@@ -155,7 +157,7 @@ class Trainer:
         self.data_handler = DataHandler(self.dataset, self.batch_size, self.num_workers, seed=self.seed)
         self.data_handler.set_seed(self.seed)
 
-        self.state = prepare_state(self.model.variables, self.tx, self.mesh)
+        self.state = prepare_state(self.model.variables, self.tx, self.mesh, ema_decay=self.ema_decay)
         if self.load("latest"):
             print(f"-> The latest checkpoint was loaded. [best_psnr = {self.best_psnr:6.3f}]")
 
@@ -163,7 +165,8 @@ class Trainer:
         if self.fused_train:
             train_module = train_module.clone(fused_train=True)
         step_fn = make_train_step(
-            train_module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh
+            train_module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh,
+            ema_decay=self.ema_decay,
         )
         logger = Logger(os.path.join(self.ckpt_path, "train.log")) if self.data_handler.is_main_process else None
 
@@ -238,6 +241,14 @@ class Trainer:
         with open(train_path, "wb") as f:
             f.write(serialization.to_bytes(train_dict))
 
+        if self.state.ema_params is not None:
+            # Separate file (the reference zoo's params_ema analog,
+            # ``hat.py:576-593``): keeps {tag}.model.ckpt loadable by
+            # registry templates that know nothing about EMA.
+            ema_path = os.path.join(self.ckpt_path, file_name + ".ema.ckpt")
+            with open(ema_path, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(self.state.ema_params)))
+
         with open(os.path.join(self.ckpt_path, "params.json"), "w") as f:
             json.dump(self.model.get_model_config(), f)
         return model_path, train_path
@@ -263,6 +274,18 @@ class Trainer:
         with open(train_path, "rb") as f:
             train_dict = serialization.from_bytes(target, f.read())
 
+        ema = None
+        if self.ema_decay:
+            ema_path = os.path.join(self.ckpt_path, file_name + ".ema.ckpt")
+            ema = jax.tree_util.tree_map(
+                lambda p: np.asarray(p, np.float32), jax.device_get(variables["params"])
+            )
+            if os.path.isfile(ema_path):
+                with open(ema_path, "rb") as f:
+                    ema = serialization.from_bytes(ema, f.read())
+            # else: resuming a pre-EMA checkpoint — seed the shadow from the
+            # restored parameters.
+
         from studiosr_tpu.parallel.mesh import replicate
 
         self.state = replicate(
@@ -271,6 +294,7 @@ class Trainer:
                 batch_stats=variables.get("batch_stats", {}),
                 opt_state=train_dict["opt_state"],
                 step=jnp.asarray(train_dict["step"], jnp.int32),
+                ema_params=ema,
             ),
             self.mesh,
         )

@@ -36,6 +36,11 @@ class TrainState:
     batch_stats: Any  # {} for models without BatchNorm
     opt_state: Any
     step: jnp.ndarray
+    # EMA shadow of ``params`` (None = disabled). The reference zoo ships
+    # EMA checkpoints (HAT loads key ``params_ema``, ``hat.py:576-593``)
+    # but its Trainer never produces them; here the EMA update rides the
+    # same jitted step (one fused elementwise pass, replicated like params).
+    ema_params: Any = None
 
 
 def multistep_schedule(learning_rate: float, milestones: Sequence[int], gamma: float) -> optax.Schedule:
@@ -71,6 +76,7 @@ def make_train_step(
     bfloat16: bool = True,
     mesh=None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Build ``(state, lq, gt, rng) -> (state, loss)`` jitted over ``mesh``.
 
@@ -107,12 +113,19 @@ def make_train_step(
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(jnp.float32), state.ema_params, new_params
+            )
         return (
             TrainState(
                 params=new_params,
                 batch_stats=new_stats,
                 opt_state=new_opt_state,
                 step=state.step + 1,
+                ema_params=new_ema,
             ),
             loss,
         )
@@ -128,15 +141,24 @@ def make_train_step(
     return jitted
 
 
-def prepare_state(variables: Dict[str, Any], tx: optax.GradientTransformation, mesh=None) -> TrainState:
-    """Build a replicated TrainState from model variables."""
+def prepare_state(
+    variables: Dict[str, Any], tx: optax.GradientTransformation, mesh=None, ema_decay: float = 0.0
+) -> TrainState:
+    """Build a replicated TrainState from model variables. ``ema_decay > 0``
+    seeds the EMA shadow from the initial parameters."""
     mesh = mesh if mesh is not None else get_mesh()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    ema = None
+    if ema_decay:
+        # copy=True: f32 params would otherwise alias the same buffers as
+        # ``params``, and the donated step would donate each twice.
+        ema = jax.tree_util.tree_map(lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
     state = TrainState(
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
+        ema_params=ema,
     )
     return replicate(state, mesh)

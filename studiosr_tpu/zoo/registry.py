@@ -41,8 +41,12 @@ def get_model_class(name: str):
     return _registry()[name.lower()]
 
 
-def load_model(ckpt_dir: str, model_name: str, tag: str = "best"):
-    """Rebuild a model from ``{ckpt_dir}/params.json`` + ``{tag}.model.ckpt``."""
+def load_model(ckpt_dir: str, model_name: str, tag: str = "best", ema: bool = False):
+    """Rebuild a model from ``{ckpt_dir}/params.json`` + ``{tag}.model.ckpt``.
+
+    ``ema=True`` serves the EMA shadow weights from ``{tag}.ema.ckpt``
+    (written by ``Trainer(ema_decay=...)`` — the reference zoo's
+    ``params_ema`` analog) in place of the raw parameters."""
     from flax import serialization
 
     with open(os.path.join(ckpt_dir, "params.json")) as f:
@@ -51,4 +55,11 @@ def load_model(ckpt_dir: str, model_name: str, tag: str = "best"):
     path = os.path.join(ckpt_dir, f"{tag}.model.ckpt")
     with open(path, "rb") as f:
         model.variables = serialization.from_bytes(model.variables, f.read())
+    if ema:
+        ema_path = os.path.join(ckpt_dir, f"{tag}.ema.ckpt")
+        with open(ema_path, "rb") as f:
+            model.variables = dict(
+                model.variables,
+                params=serialization.from_bytes(model.variables["params"], f.read()),
+            )
     return model

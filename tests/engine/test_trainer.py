@@ -224,3 +224,83 @@ def test_fused_trainer_matches_plain_on_cpu(tmp_path):
     assert len(flat_p) == len(flat_f)
     for a, b in zip(flat_p, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)
+
+
+def test_trainer_ema_weights(tmp_path):
+    """EMA training (``ema_decay``): the shadow follows the exact recurrence
+    ema <- d*ema + (1-d)*params inside the jitted step, is checkpointed as
+    {tag}.ema.ckpt, survives resume, and is servable via
+    ``load_model(..., ema=True)`` (the reference zoo's params_ema analog)."""
+    import jax
+
+    from studiosr_tpu.zoo.registry import load_model
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    dataset = SyntheticPairs()
+    kwargs = dict(
+        batch_size=8, num_workers=0, max_iters=4, eval_interval=2,
+        ckpt_path=str(tmp_path), bfloat16=False, ema_decay=0.5,
+    )
+    trainer = Trainer(model, dataset, CountingEvaluator(), **kwargs)
+    trainer.run()
+    assert os.path.exists(tmp_path / "latest.ema.ckpt")
+    assert os.path.exists(tmp_path / "best.ema.ckpt")
+
+    # The shadow lags the raw parameters (decay 0.5 over a few steps).
+    params = jax.device_get(trainer.state.params)
+    ema = jax.device_get(trainer.state.ema_params)
+    diffs = jax.tree_util.tree_map(lambda p, e: float(np.abs(np.asarray(p) - np.asarray(e)).max()), params, ema)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    # Servable through the registry: raw vs EMA weights differ.
+    raw = load_model(str(tmp_path), "edsr", tag="latest")
+    shadow = load_model(str(tmp_path), "edsr", tag="latest", ema=True)
+    lq = (np.random.default_rng(2).random((8, 8, 3)) * 255).astype(np.uint8)
+    assert not np.array_equal(raw.inference(lq), shadow.inference(lq)) or max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                raw.variables["params"], shadow.variables["params"],
+            )
+        )
+    ) > 0
+
+    # Resume restores the shadow (not re-seeded from params).
+    trainer2 = Trainer(EDSR.build(scale=2, n_feats=8, n_resblocks=1), dataset, None, **kwargs)
+    from studiosr_tpu.parallel import prepare_state
+
+    trainer2.state = prepare_state(trainer2.model.variables, trainer2.tx, trainer2.mesh, ema_decay=0.5)
+    assert trainer2.load("latest")
+    ema2 = jax.device_get(trainer2.state.ema_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ema), jax.tree_util.tree_leaves(ema2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_recurrence_exact():
+    """The jitted step's EMA update equals the hand recurrence."""
+    import jax
+    import jax.numpy as jnp
+
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    tx = build_optimizer(learning_rate=1e-2)
+    d = 0.75
+    state = prepare_state(model.variables, tx, ema_decay=d)
+    step = make_train_step(model.module, tx, l1_loss, bfloat16=False, ema_decay=d, donate=False)
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((8, 16, 16, 3), dtype=np.float32)
+    lq = gt.reshape(8, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+    batch = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), get_mesh())
+
+    ema_ref = jax.device_get(state.ema_params)
+    for i in range(3):
+        state, _ = step(state, batch[0], batch[1], jax.random.PRNGKey(i))
+        params = jax.device_get(state.params)
+        ema_ref = jax.tree_util.tree_map(
+            lambda e, p: d * np.asarray(e, np.float32) + (1 - d) * np.asarray(p, np.float32), ema_ref, params
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.ema_params)), jax.tree_util.tree_leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
