@@ -33,6 +33,8 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=None, help="override the recipe's global batch")
     parser.add_argument("--eval-interval", type=int, default=1000)
     parser.add_argument("--profile-dir", type=str, default=None)
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="maintain EMA weights ({tag}.ema.ckpt; serve with load_model(ema=True))")
     parser.add_argument("--multihost", action="store_true", help="initialize jax.distributed for TPU pods")
     args = parser.parse_args()
 
@@ -68,6 +70,7 @@ def main() -> None:
         eval_interval=args.eval_interval,
         ckpt_path=args.ckpt,
         profile_dir=args.profile_dir,
+        ema_decay=args.ema_decay,
         **recipe,
     )
     trainer.run()
