@@ -35,6 +35,8 @@ def main() -> None:
     parser.add_argument("--profile-dir", type=str, default=None)
     parser.add_argument("--ema-decay", type=float, default=0.0,
                         help="maintain EMA weights ({tag}.ema.ckpt; serve with load_model(ema=True))")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="micro-steps accumulated per optimizer update (effective batch = k x batch)")
     parser.add_argument("--multihost", action="store_true", help="initialize jax.distributed for TPU pods")
     args = parser.parse_args()
 
@@ -71,6 +73,7 @@ def main() -> None:
         ckpt_path=args.ckpt,
         profile_dir=args.profile_dir,
         ema_decay=args.ema_decay,
+        grad_accum_steps=args.grad_accum,
         **recipe,
     )
     trainer.run()

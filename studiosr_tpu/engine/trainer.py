@@ -74,6 +74,7 @@ class Trainer:
         debug_nans: bool = False,
         fused_train: Optional[bool] = None,
         ema_decay: float = 0.0,
+        grad_accum_steps: int = 1,
     ) -> None:
         self.model = model
         self.dataset = train_dataset
@@ -128,6 +129,10 @@ class Trainer:
         self.ema_decay = float(ema_decay)
         self.best_psnr = 0.0
         self.mesh = get_mesh()
+        # grad_accum_steps > 1: k micro-iterations per optimizer update
+        # (optax.MultiSteps; effective batch = k x batch_size). max_iters and
+        # eval_interval keep counting micro-iterations; milestones count
+        # optimizer steps.
         self.tx = build_optimizer(
             learning_rate=learning_rate,
             beta1=beta1,
@@ -135,6 +140,7 @@ class Trainer:
             weight_decay=weight_decay,
             milestones=self.milestones,
             gamma=gamma,
+            accum_steps=int(grad_accum_steps),
         )
         self.state: Optional[TrainState] = None
 

@@ -57,16 +57,25 @@ def build_optimizer(
     weight_decay: float = 0.0,
     milestones: Sequence[int] = (),
     gamma: float = 0.5,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Adam with torch-style L2 (decay added to the raw gradient, before the
-    moment estimates) and a multistep schedule (``trainer.py:133-145``)."""
+    moment estimates) and a multistep schedule (``trainer.py:133-145``).
+
+    ``accum_steps > 1`` wraps the chain in ``optax.MultiSteps``: gradients
+    from k consecutive micro-steps are averaged before one optimizer update
+    (effective batch = k x batch). Milestones then count OPTIMIZER steps,
+    not micro-iterations."""
     schedule = multistep_schedule(learning_rate, milestones, gamma)
     chain = []
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=beta1, b2=beta2))
     chain.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_steps))
+    return tx
 
 
 def make_train_step(

@@ -304,3 +304,40 @@ def test_ema_recurrence_exact():
         )
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.ema_params)), jax.tree_util.tree_leaves(ema_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accumulation_matches_big_batch():
+    """k accumulated micro-steps == one step on the concatenated batch:
+    MultiSteps averages the micro-gradients, and the L1 loss's gradient over
+    the 2B batch is the mean of the two B-batch gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    mesh = get_mesh()
+    rng = np.random.default_rng(0)
+    gt = rng.random((16, 16, 16, 3), dtype=np.float32)
+    lq = gt.reshape(16, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+
+    # two micro-steps, accumulating
+    tx_a = build_optimizer(learning_rate=1e-2, accum_steps=2)
+    state_a = prepare_state(model.variables, tx_a, mesh)
+    step_a = make_train_step(model.module, tx_a, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+    for half in (slice(0, 8), slice(8, 16)):
+        b = shard_batch((jnp.asarray(lq[half]), jnp.asarray(gt[half])), mesh)
+        state_a, _ = step_a(state_a, b[0], b[1], jax.random.PRNGKey(0))
+
+    # one step on the full batch
+    tx_b = build_optimizer(learning_rate=1e-2)
+    state_b = prepare_state(model.variables, tx_b, mesh)
+    step_b = make_train_step(model.module, tx_b, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+    b = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), mesh)
+    state_b, _ = step_b(state_b, b[0], b[1], jax.random.PRNGKey(0))
+
+    pa = jax.device_get(state_a.params)
+    pb = jax.device_get(state_b.params)
+    for a, bb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
