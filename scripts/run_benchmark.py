@@ -7,6 +7,14 @@ first run.
 
 Usage:
     python scripts/run_benchmark.py --models edsr swinir --scales 4 --ensemble
+
+Remote-TPU note: whole-image inference compiles once per unique image shape
+(30s-15min each through the relay; the persistent compilation cache makes
+re-runs fast). ``--tile N`` instead runs tiled inference — ONE compile per
+tile shape for a whole dataset — at the cost of a small deviation from the
+reference protocol (overlap-discard tiling truncates cross-window context
+at tile borders; use generous ``--tile-overlap`` and compare against the
+exact whole-image mode on one dataset before trusting parity deltas).
 """
 
 from __future__ import annotations
@@ -31,6 +39,9 @@ def main() -> None:
     )
     parser.add_argument("--ensemble", action="store_true", help="also evaluate the 8-way self-ensemble (+)")
     parser.add_argument("--bf16", action="store_true", help="serve in bfloat16")
+    parser.add_argument("--tile", type=int, default=0,
+                        help="tiled inference with this LR tile size (0 = exact whole-image protocol)")
+    parser.add_argument("--tile-overlap", type=int, default=16, help="tile halo in LR pixels")
     args = parser.parse_args()
 
     header = "| Method | Scale | " + " | ".join(args.datasets) + " |"
@@ -43,7 +54,12 @@ def main() -> None:
             model = get_model_class(name).from_pretrained(scale=scale)
             if args.bf16:
                 model.half()
-            for label, func in [(name.upper(), model.inference)] + (
+            infer = model.inference
+            if args.tile:
+                infer = lambda img, m=model: m.inference_tiled(
+                    img, tile=args.tile, tile_overlap=args.tile_overlap
+                )
+            for label, func in [(name.upper(), infer)] + (
                 [(name.upper() + "+", model.inference_with_self_ensemble)] if args.ensemble else []
             ):
                 psnrs = []
