@@ -17,10 +17,28 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["rfft2_mxu", "irfft2_mxu"]
+
+# "merged": each transform axis is ONE dot with the cos/sin matrices stacked
+# along the output (or contraction) axis — 2 dots per transform instead of 6,
+# and the compute dtype follows the input (bf16 trunk => bf16 operands with
+# f32 accumulation) instead of always materializing f32 maps. Fewer, bigger,
+# narrower dots is the round-3 kernel lesson applied at the XLA level.
+# "split": the original 6-dot f32 formulation (kept for A/B measurement —
+# scripts/exp_swinfir_ablate.py).
+DFT_IMPL = "merged"
+
+
+def _dot_dtype(x: jnp.ndarray):
+    # CPU's dot thunk rejects BF16 x BF16 = F32; bf16 operands are a TPU
+    # (traffic) optimization only.
+    if x.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        return jnp.bfloat16
+    return jnp.float32
 
 
 @lru_cache(maxsize=32)
@@ -36,6 +54,8 @@ def rfft2_mxu(x: jnp.ndarray):
     Returns ``(re, im)`` of shape (B, H, W//2 + 1, C) — equal to the real
     and imaginary parts of ``jnp.fft.rfftn(x, axes=(1, 2), norm="ortho")``.
     """
+    if DFT_IMPL == "merged":
+        return _rfft2_merged(x)
     _, h, w, _ = x.shape
     kw = w // 2 + 1
     cw, sw = _mats(w)
@@ -60,6 +80,8 @@ def irfft2_mxu(re: jnp.ndarray, im: jnp.ndarray, w_out: int):
     """Inverse of :func:`rfft2_mxu`: (B, H, W//2+1, C) re/im -> real
     (B, H, w_out, C), ortho-normalized (matches ``jnp.fft.irfftn(...,
     s=(H, w_out), axes=(1, 2), norm="ortho")``)."""
+    if DFT_IMPL == "merged":
+        return _irfft2_merged(re, im, w_out)
     _, h, kw, _ = re.shape
     w = w_out
     cw, sw = _mats(w)
@@ -81,5 +103,59 @@ def irfft2_mxu(re: jnp.ndarray, im: jnp.ndarray, w_out: int):
     im1 = jnp.einsum("bmkc,mg->bgkc", im32, chm) + jnp.einsum("bmkc,mg->bgkc", re32, shm)
     # W axis inverse with hermitian fold, real output:
     out = jnp.einsum("bgkc,wk->bgwc", re1, cwi) - jnp.einsum("bgkc,wk->bgwc", im1, swi)
+    scale = 1.0 / np.sqrt(h * w)
+    return out * scale
+
+
+# -- merged-dot formulation ---------------------------------------------------
+
+
+def _rfft2_merged(x: jnp.ndarray):
+    """Same contract as the split form, as 2 dots: the W pass multiplies by
+    [cos | sin] stacked along the output axis; the H pass stacks (re1, im1)
+    along channels and [cos | sin] along the output axis, and the four
+    quadrants of the result combine elementwise."""
+    b, h, w, c = x.shape
+    kw = w // 2 + 1
+    cw, sw = _mats(w)
+    ch, sh = _mats(h)
+    dt = _dot_dtype(x)
+    wk = jnp.asarray(np.concatenate([cw[:, :kw], sw[:, :kw]], axis=1), dt)  # (w, 2kw)
+    hm = jnp.asarray(np.concatenate([ch, sh], axis=1), dt)  # (h, 2h)
+
+    t1 = jnp.einsum("bhwc,wk->bhkc", x.astype(dt), wk, preferred_element_type=jnp.float32)
+    re1 = t1[:, :, :kw]
+    im1 = -t1[:, :, kw:]
+    s = jnp.concatenate([re1, im1], axis=-1).astype(dt)  # (b, h, kw, 2c)
+    u = jnp.einsum("bhkc,hm->bmkc", s, hm, preferred_element_type=jnp.float32)  # (b, 2h, kw, 2c)
+    # u quadrants: [m<h, c<c0] = re1@cos, [m<h, c>=c0] = im1@cos,
+    #              [m>=h, c<c0] = re1@sin, [m>=h, c>=c0] = im1@sin
+    re = u[:, :h, :, :c] + u[:, h:, :, c:]
+    im = u[:, :h, :, c:] - u[:, h:, :, :c]
+    scale = 1.0 / np.sqrt(h * w)
+    return re * scale, im * scale
+
+
+def _irfft2_merged(re: jnp.ndarray, im: jnp.ndarray, w_out: int):
+    b, h, kw, c = re.shape
+    w = w_out
+    cw, sw = _mats(w)
+    ch, sh = _mats(h)
+    alpha = np.full(kw, 2.0, np.float32)
+    alpha[0] = 1.0
+    if w % 2 == 0 and kw == w // 2 + 1:
+        alpha[-1] = 1.0
+    dt = _dot_dtype(re)
+    hm = jnp.asarray(np.concatenate([ch, sh], axis=1), dt)  # (h, 2h)
+    # W pass contracts over k; stacking (re1, im1) along k pairs with
+    # [alpha*cos | -alpha*sin] stacked along the same axis => one dot.
+    wk = jnp.asarray(np.concatenate([(cw[:, :kw] * alpha), -(sw[:, :kw] * alpha)], axis=1), dt)  # (w, 2kw)
+
+    s = jnp.concatenate([re, im], axis=-1).astype(dt)  # (b, h, kw, 2c)
+    v = jnp.einsum("bmkc,mg->bgkc", s, hm, preferred_element_type=jnp.float32)  # (b, 2h, kw, 2c)
+    re1 = v[:, :h, :, :c] - v[:, h:, :, c:]  # re@cos - im@sin
+    im1 = v[:, :h, :, c:] + v[:, h:, :, :c]  # im@cos + re@sin
+    z = jnp.concatenate([re1, im1], axis=2).astype(dt)  # (b, h, 2kw, c)
+    out = jnp.einsum("bgkc,wk->bgwc", z, wk, preferred_element_type=jnp.float32)
     scale = 1.0 / np.sqrt(h * w)
     return out * scale

@@ -74,15 +74,17 @@ def _residual_conv(x, p, interpret=False):
         re_f, im_f = fft.real, fft.imag
     else:
         # MXU DFT matmuls — XLA's FFT op compile-hangs at these shapes on
-        # this TPU backend (ops/dft.py).
+        # this TPU backend (ops/dft.py). Compute dtype follows the trunk
+        # (bf16 operands with f32 accumulation under half()).
         from studiosr_tpu.ops.dft import rfft2_mxu
 
-        re_f, im_f = rfft2_mxu(f.astype(jnp.float32))
+        re_f, im_f = rfft2_mxu(f)
     stacked = jnp.concatenate([re_f, im_f], axis=-1).astype(x.dtype)
     stacked = jax.nn.leaky_relu(_conv(stacked, p["F"]["fu"]["conv_layer"]), 0.2)
-    re, im = jnp.split(stacked.astype(jnp.float32), 2, axis=-1)
+    re, im = jnp.split(stacked, 2, axis=-1)
     if jax.default_backend() == "cpu":
-        fu = jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
+        re32, im32 = re.astype(jnp.float32), im.astype(jnp.float32)
+        fu = jnp.fft.irfftn(jax.lax.complex(re32, im32), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
     else:
         from studiosr_tpu.ops.dft import irfft2_mxu
 
