@@ -8,5 +8,23 @@ on-device evaluation protocol.
 
 __version__ = "0.1.0"
 
+from studiosr_tpu.data import DF2K, DIV2K, Flickr2K, PairedImageDataset  # noqa: F401
+from studiosr_tpu.data.handler import DataHandler, DataIterator  # noqa: F401
 from studiosr_tpu.engine import *  # noqa: F401,F403
+from studiosr_tpu.models import (  # noqa: F401
+    EDSR,
+    ESPCN,
+    HAN,
+    HAT,
+    IMDN,
+    MaxSR,
+    Model,
+    RCAN,
+    SRCNN,
+    SRResNet,
+    SwinFIR,
+    SwinIR,
+    VDSR,
+)
 from studiosr_tpu.utils import *  # noqa: F401,F403
+from studiosr_tpu.utils.compare import compare  # noqa: F401
