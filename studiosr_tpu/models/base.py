@@ -70,7 +70,24 @@ def converge_images(images: List[np.ndarray]) -> np.ndarray:
     return np.mean(np.stack(undone), axis=0)
 
 
-class Model:
+class _ModelMeta(type):
+    """Reference-ctor parity: ``SwinIR(scale=4)`` == ``SwinIR.build(scale=4)``.
+
+    The reference constructs models directly with hyperparameters
+    (``studiosr/models/swinir.py`` ctor; README usage ``SwinIR(scale=scale)``);
+    our ``build`` classmethods take the same names. Hyperparameter calls are
+    recognized by the absence of a positional flax module / ``module=``
+    kwarg, so the internal ``cls(module, variables, config, ...)`` path is
+    untouched.
+    """
+
+    def __call__(cls, *args, **kwargs):
+        if cls is not Model and not args and "module" not in kwargs:
+            return cls.build(**kwargs)
+        return super().__call__(*args, **kwargs)
+
+
+class Model(metaclass=_ModelMeta):
     """Wrapper binding a flax module, its variables, and the model config.
 
     Subclasses set ``module_cls`` and implement ``build`` (fresh init) and
@@ -218,6 +235,21 @@ class Model:
 
     def half(self) -> "Model":
         return self.astype(jnp.bfloat16)
+
+    # -- reference-API chainables (torch idioms, ``common.py:29-63`` usage) --
+
+    def eval(self) -> "Model":
+        """Chainable no-op: eval is the only inference mode here — forwards
+        always run ``train=False`` (BatchNorm uses running stats)."""
+        return self
+
+    def to(self, device: Any = None) -> "Model":
+        """``.to(device)`` parity: with a ``jax.Device``, commits the
+        variables there; with the reference's device strings (or anything
+        else), a no-op — jit places data on the default backend."""
+        if isinstance(device, jax.Device):
+            self.variables = jax.device_put(self.variables, device)
+        return self
 
     # -- persistence --------------------------------------------------------
 

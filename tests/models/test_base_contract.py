@@ -57,3 +57,23 @@ def test_registry_checkpoint_roundtrip(tmp_path):
     restored = load_model(str(tmp_path), "edsr", tag="best")
     x = np.random.default_rng(0).standard_normal((1, 8, 8, 3), dtype=np.float32)
     np.testing.assert_allclose(np.asarray(model(x)), np.asarray(restored(x)), atol=1e-6)
+
+
+def test_reference_readme_idioms():
+    """The reference README's usage patterns work verbatim (modulo the
+    package name): direct hyperparameter construction (``SwinIR(scale=4)``,
+    reference ``README.md:58``), chainable ``.eval()``/``.to(device)``
+    (``README.md:33,72``), and top-level re-exports."""
+    from studiosr_tpu import EDSR as TopLevelEDSR
+    from studiosr_tpu.utils import get_device
+
+    model = TopLevelEDSR(scale=2, n_feats=8, n_resblocks=1).eval().to(get_device())
+    assert isinstance(model, EDSR)
+    assert model.scale == 2 and model.config["n_feats"] == 8
+    img = (np.random.default_rng(0).random((12, 12, 3)) * 255).astype(np.uint8)
+    out = model.inference(img)
+    assert out.shape == (24, 24, 3) and out.dtype == np.uint8
+    # the internal construction path is untouched by the ctor dispatch
+    clone = EDSR(model.module, model.variables, model.config)
+    np.testing.assert_allclose(np.asarray(model(np.ones((1, 8, 8, 3), np.float32))),
+                               np.asarray(clone(np.ones((1, 8, 8, 3), np.float32))), atol=0)
