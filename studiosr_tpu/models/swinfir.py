@@ -40,22 +40,20 @@ class FourierUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from studiosr_tpu.ops.dft import irfft2_mxu, rfft2_mxu, use_mxu_dft
+
         h, w = x.shape[1:3]
-        if jax.default_backend() == "cpu":
+        if use_mxu_dft():
+            re_f, im_f = rfft2_mxu(x)
+        else:
             fft = jnp.fft.rfftn(x, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
             re_f, im_f = fft.real, fft.imag
-        else:
-            from studiosr_tpu.ops.dft import rfft2_mxu
-
-            re_f, im_f = rfft2_mxu(x)
         stacked = jnp.concatenate([re_f.astype(x.dtype), im_f.astype(x.dtype)], axis=-1)
         stacked = conv(self.embed_dim * 2, 1, name="conv_layer")(stacked)
         stacked = _lrelu(stacked)
         re, im = jnp.split(stacked, 2, axis=-1)
-        if jax.default_backend() == "cpu":
+        if not use_mxu_dft():
             return jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho")
-        from studiosr_tpu.ops.dft import irfft2_mxu
-
         return irfft2_mxu(re, im, w).astype(x.dtype)
 
 

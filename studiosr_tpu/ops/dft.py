@@ -32,6 +32,17 @@ __all__ = ["rfft2_mxu", "irfft2_mxu"]
 # scripts/exp_swinfir_ablate.py).
 DFT_IMPL = "merged"
 
+# Tests: route the CPU backend through the matmul DFT too (the serving and
+# model SFB paths take jnp.fft on CPU otherwise, leaving the MXU wiring
+# untested offline).
+FORCE_MXU = False
+
+
+def use_mxu_dft() -> bool:
+    """MXU DFT on TPU (XLA's FFT op compile-hangs at SFB shapes on this
+    backend); ``jnp.fft`` on CPU unless :data:`FORCE_MXU`."""
+    return FORCE_MXU or jax.default_backend() != "cpu"
+
 
 def _dot_dtype(x: jnp.ndarray):
     # CPU's dot thunk rejects BF16 x BF16 = F32; bf16 operands are a TPU

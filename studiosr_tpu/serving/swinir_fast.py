@@ -66,29 +66,27 @@ def _residual_conv(x, p, interpret=False):
     s = jax.nn.leaky_relu(s, 0.2)
     s = _conv(s, p["S"]["body.2"]) + x
 
+    from studiosr_tpu.ops.dft import irfft2_mxu, rfft2_mxu, use_mxu_dft
+
     f = _conv(x, p["F"]["conv_before_fft.0"])
     f = jax.nn.leaky_relu(f, 0.2)
     h, w = f.shape[1:3]
-    if jax.default_backend() == "cpu":
-        fft = jnp.fft.rfftn(f.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        re_f, im_f = fft.real, fft.imag
-    else:
+    if use_mxu_dft():
         # MXU DFT matmuls — XLA's FFT op compile-hangs at these shapes on
         # this TPU backend (ops/dft.py). Compute dtype follows the trunk
         # (bf16 operands with f32 accumulation under half()).
-        from studiosr_tpu.ops.dft import rfft2_mxu
-
         re_f, im_f = rfft2_mxu(f)
+    else:
+        fft = jnp.fft.rfftn(f.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        re_f, im_f = fft.real, fft.imag
     stacked = jnp.concatenate([re_f, im_f], axis=-1).astype(x.dtype)
     stacked = jax.nn.leaky_relu(_conv(stacked, p["F"]["fu"]["conv_layer"]), 0.2)
     re, im = jnp.split(stacked, 2, axis=-1)
-    if jax.default_backend() == "cpu":
+    if use_mxu_dft():
+        fu = irfft2_mxu(re, im, w).astype(x.dtype)
+    else:
         re32, im32 = re.astype(jnp.float32), im.astype(jnp.float32)
         fu = jnp.fft.irfftn(jax.lax.complex(re32, im32), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
-    else:
-        from studiosr_tpu.ops.dft import irfft2_mxu
-
-        fu = irfft2_mxu(re, im, w).astype(x.dtype)
     f = _conv(fu + f, p["F"]["conv_after_fft"])
 
     return _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])

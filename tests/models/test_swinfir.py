@@ -28,3 +28,27 @@ def test_swinfir_parity():
     ref = studiosr.models.swinfir.SwinFIR(scale=2, **SMALL)
     ours = SwinFIR.build(scale=2, **SMALL)
     assert_parity(ref, ours, hw=(20, 24), atol=1e-3)
+
+
+def test_mxu_dft_path_matches_fft_on_cpu(monkeypatch):
+    """The MXU-DFT SFB wiring (the TPU serving/training branch) pinned
+    offline: FORCE_MXU routes the CPU backend through rfft2_mxu/irfft2_mxu
+    in both the linen module and the fused serving path."""
+    import studiosr_tpu.ops.dft as dft
+
+    import jax
+
+    model = SwinFIR.build(scale=2, **SMALL)
+    x = np.random.default_rng(0).standard_normal((1, 16, 16, 3)).astype(np.float32)
+    want = np.asarray(model(x))
+    monkeypatch.setattr(dft, "FORCE_MXU", True)
+    # use_mxu_dft() is read at trace time — re-jit so the flag is honored
+    model._jit_forward = jax.jit(model._forward)
+    got = np.asarray(model(x))
+    # bit-exact equality would mean the stale FFT trace was reused
+    assert not np.array_equal(got, want)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    fused = model.enable_fused(True)
+    got_fused = np.asarray(fused(x))
+    np.testing.assert_allclose(got_fused, want, atol=2e-4, rtol=1e-4)
