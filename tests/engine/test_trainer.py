@@ -341,3 +341,50 @@ def test_grad_accumulation_matches_big_batch():
     pb = jax.device_get(state_b.params)
     for a, bb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
+
+
+def test_grad_accumulation_resumes_mid_window():
+    """MultiSteps state (micro-step counter + gradient accumulator) survives
+    the checkpoint bytes round-trip: save after micro-step 1 of 2, restore
+    into a fresh state, finish the window — parameters match the
+    uninterrupted run exactly."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    mesh = get_mesh()
+    rng = np.random.default_rng(1)
+    gt = rng.random((16, 16, 16, 3), dtype=np.float32)
+    lq = gt.reshape(16, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+    halves = [shard_batch((jnp.asarray(lq[s]), jnp.asarray(gt[s])), mesh) for s in (slice(0, 8), slice(8, 16))]
+
+    def fresh():
+        tx = build_optimizer(learning_rate=1e-2, accum_steps=2)
+        return tx, prepare_state(model.variables, tx, mesh)
+
+    # uninterrupted: two micro-steps
+    tx_a, state_a = fresh()
+    step_a = make_train_step(model.module, tx_a, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+    for b in halves:
+        state_a, _ = step_a(state_a, b[0], b[1], jax.random.PRNGKey(0))
+
+    # interrupted: one micro-step, opt_state through bytes, then the second
+    tx_b, state_b = fresh()
+    step_b = make_train_step(model.module, tx_b, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+    state_b, _ = step_b(state_b, halves[0][0], halves[0][1], jax.random.PRNGKey(0))
+    blob_opt = serialization.to_bytes(jax.device_get(state_b.opt_state))
+    blob_params = serialization.to_bytes(jax.device_get(state_b.params))
+    _, state_c = fresh()
+    state_c = state_c.replace(
+        params=serialization.from_bytes(jax.device_get(state_c.params), blob_params),
+        opt_state=serialization.from_bytes(jax.device_get(state_c.opt_state), blob_opt),
+    )
+    state_c, _ = step_b(state_c, halves[1][0], halves[1][1], jax.random.PRNGKey(0))
+
+    for a, c in zip(jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_c.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0)
