@@ -19,7 +19,7 @@ def dft_impl(request, monkeypatch):
     return request.param
 
 
-@pytest.mark.parametrize("h,w", [(16, 16), (24, 32), (15, 22)])
+@pytest.mark.parametrize("h,w", [(16, 16), (24, 32), (15, 22), (16, 21)])
 def test_rfft2_matches_jnp(h, w, dft_impl):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, h, w, 5)), jnp.float32)
@@ -29,7 +29,7 @@ def test_rfft2_matches_jnp(h, w, dft_impl):
     np.testing.assert_allclose(np.asarray(im), np.asarray(want.imag), atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("h,w", [(16, 16), (24, 32), (15, 22)])
+@pytest.mark.parametrize("h,w", [(16, 16), (24, 32), (15, 22), (16, 21)])
 def test_irfft2_matches_jnp(h, w, dft_impl):
     rng = np.random.default_rng(1)
     re = jnp.asarray(rng.standard_normal((2, h, w // 2 + 1, 5)), jnp.float32)
