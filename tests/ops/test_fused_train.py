@@ -266,3 +266,35 @@ def test_maxsr_fused_train_nonsquare_adaptive_falls_back():
     out, _ = fused.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["batch_stats"])
     assert out.shape == (1, 16, 24, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swinfir_grads_flow_through_mxu_dft(monkeypatch):
+    """The TPU training path differentiates through the MXU-DFT einsums
+    (ops/dft.py) — pin its gradients against the jnp.fft formulation on CPU
+    via FORCE_MXU."""
+    import studiosr_tpu.ops.dft as dft
+    from studiosr_tpu.models.swinfir import SwinFIR
+
+    model = SwinFIR.build(
+        scale=2, embed_dim=16, depths=(2,), num_heads=(2,), window_size=8,
+        mlp_ratio=2.0, drop_path_rate=0.0, upsampler="pixelshuffledirect",
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 16, 3)), jnp.float32)
+    gt = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32, 32, 3)), jnp.float32)
+
+    def loss(params):
+        out = model.module.apply({"params": params}, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.mean(jnp.abs(out - gt))
+
+    lp, gp = jax.value_and_grad(loss)(model.variables["params"])
+    monkeypatch.setattr(dft, "FORCE_MXU", True)
+    lf, gf = jax.value_and_grad(loss)(model.variables["params"])
+
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path]), np.asarray(leaf), atol=3e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
