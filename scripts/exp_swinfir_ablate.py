@@ -52,14 +52,17 @@ def main() -> None:
         b, hh, _, c = re.shape
         return jnp.zeros((b, hh, w_out, c), re.dtype) + re[:, :, :1, :]
 
+    from studiosr_tpu.serving import swinir_fast
+
     outs = {}
-    for name in ("split", "merged", "no-dft"):
+    for name in ("split", "merged", "xla-sconv", "no-dft"):
+        swinir_fast.SFB_STREAM_S = name != "xla-sconv"
         if name == "no-dft":
             dft.rfft2_mxu, dft.irfft2_mxu = stub_rfft, stub_irfft
             dft.DFT_IMPL = "merged"
         else:
             dft.rfft2_mxu, dft.irfft2_mxu = real_rfft, real_irfft
-            dft.DFT_IMPL = name
+            dft.DFT_IMPL = "split" if name == "split" else "merged"
 
         def chained(v, inp):
             def body(carry, _):
@@ -80,12 +83,13 @@ def main() -> None:
         mp_s = (h * w * 16) / 1e6 / (best / reps)
         print(f"{name:10s}: {ms:7.1f} ms  ({mp_s:.2f} MP/s)", flush=True)
 
-        if name != "no-dft":
+        if name in ("split", "merged"):
             g = jax.jit(model._forward)
             outs[name] = np.asarray(g(variables, x), np.float32)
 
     dft.rfft2_mxu, dft.irfft2_mxu = real_rfft, real_irfft
     dft.DFT_IMPL = "merged"
+    swinir_fast.SFB_STREAM_S = True
     dev = np.abs(outs["merged"] - outs["split"])
     print(f"merged-vs-split full forward: max|dev| {dev.max():.5f}  mean {dev.mean():.6f}")
 

@@ -41,8 +41,10 @@ VMEM_LIMIT = 64 * 1024 * 1024
 def _act(y, kind):
     if kind == "relu":
         return jnp.maximum(y, 0.0)
-    if kind == "lrelu":
-        return jnp.where(y >= 0, y, 0.01 * y)
+    if kind and kind.startswith("lrelu"):
+        # optional slope suffix: "lrelu" = torch default, "lrelu0.2" = SFB's
+        slope = float(kind[5:]) if len(kind) > 5 else 0.01
+        return jnp.where(y >= 0, y, slope * y)
     return y
 
 

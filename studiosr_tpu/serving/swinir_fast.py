@@ -30,6 +30,10 @@ from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relat
 
 __all__ = ["swinir_fast_forward"]
 
+# A/B flag (scripts/exp_swinfir_ablate.py): SFB spatial-branch 3x3 convs via
+# the streaming Pallas kernel (True) or XLA convs (False).
+SFB_STREAM_S = True
+
 
 def _conv(x, p, stride=1):
     return (
@@ -55,16 +59,25 @@ def _layernorm(x, p):
 def _residual_conv(x, p, interpret=False):
     """RSTB residual connection: plain conv or SwinFIR's SFB
     (spatial branch || rfft spectral branch -> 1x1 fuse)."""
-    if "kernel" in p:
-        from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
 
+    if "kernel" in p:
         # Streaming Pallas conv: one HBM pass (XLA's measured ~2.4x the
         # stream bound in context, STATUS.md round-2 dissection).
         return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], interpret=interpret)
     # SFB (models/swinfir.py): keys S / F / fusion.
-    s = _conv(x, p["S"]["body.0"])
-    s = jax.nn.leaky_relu(s, 0.2)
-    s = _conv(s, p["S"]["body.2"]) + x
+    if SFB_STREAM_S:
+        # The S-branch 3x3 convs are the identical situation to the RSTB
+        # conv (same map shape/dtype/position between fused block kernels)
+        # where the streaming kernel measured 1.64 vs 2.34 ms.
+        s0 = p["S"]["body.0"]
+        s2 = p["S"]["body.2"]
+        s = fused_conv3x3(x, s0["kernel"].astype(x.dtype), s0["bias"], activation="lrelu0.2", interpret=interpret)
+        s = fused_conv3x3(s, s2["kernel"].astype(x.dtype), s2["bias"], interpret=interpret) + x
+    else:
+        s = _conv(x, p["S"]["body.0"])
+        s = jax.nn.leaky_relu(s, 0.2)
+        s = _conv(s, p["S"]["body.2"]) + x
 
     from studiosr_tpu.ops.dft import irfft2_mxu, rfft2_mxu, use_mxu_dft
 
