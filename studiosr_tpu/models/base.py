@@ -102,6 +102,12 @@ class Model(metaclass=_ModelMeta):
         config: Dict[str, Any],
         training_config: Optional[Dict[str, Any]] = None,
     ) -> None:
+        if not hasattr(module, "apply"):
+            raise TypeError(
+                f"{type(self).__name__}() takes a flax module (internal path) or "
+                f"hyperparameter KEYWORD arguments (e.g. {type(self).__name__}(scale=4)); "
+                f"got positional {module!r}"
+            )
         self.module = module
         self.variables = variables
         self.config = dict(config)
