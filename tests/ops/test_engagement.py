@@ -263,3 +263,21 @@ def test_swinir_light_fused_engaged():
         swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
     )
     _assert_engaged(counts, ["fused_swin_block"])
+
+
+def test_swinfir_fused_engaged_at_bench_shape():
+    """SwinFIR classical x4 at the sweep shape (256x256 LR -> 264x264 map):
+    whole-block kernels, the streaming SFB spatial-branch convs, and the
+    fused x4 tail all engage (the MXU-DFT spectral path is jnp einsums —
+    covered by tests/ops/test_dft.py, no Pallas counter)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinfir import SwinFIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    model = SwinFIR.build(scale=4, fast_init=True).half()
+    counts = _trace_engagement(
+        swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(counts, ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4"])
+    assert "fused_window_attention_block" not in counts, counts
