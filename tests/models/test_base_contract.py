@@ -77,3 +77,17 @@ def test_reference_readme_idioms():
     clone = EDSR(model.module, model.variables, model.config)
     np.testing.assert_allclose(np.asarray(model(np.ones((1, 8, 8, 3), np.float32))),
                                np.asarray(clone(np.ones((1, 8, 8, 3), np.float32))), atol=0)
+
+
+def test_scale8_ladder():
+    """The reference's test matrix covers scale 8 for every model (log2
+    upsampler ladder, reference common.py:130-133 and tests/models/*).
+    Pin the ladder + the transformer eval-padding path at x8."""
+    from studiosr_tpu.models import RCAN, SwinIR
+
+    m = EDSR.build(scale=8, n_feats=8, n_resblocks=1)
+    assert m(np.zeros((1, 8, 8, 3), np.float32)).shape == (1, 64, 64, 3)
+    m = RCAN.build(scale=8, n_feats=16, n_resgroups=1, n_resblocks=1, reduction=4)
+    assert m(np.zeros((1, 8, 8, 3), np.float32)).shape == (1, 64, 64, 3)
+    m = SwinIR.build(scale=8, embed_dim=16, depths=(2,), num_heads=(2,), window_size=8, fast_init=True)
+    assert m(np.zeros((1, 12, 12, 3), np.float32)).shape == (1, 96, 96, 3)
