@@ -64,7 +64,9 @@ def _wait_for_backend(retries: int = 6, probe_timeout: float = 120.0) -> None:
         if attempt + 1 < retries:
             print(f"backend probe {attempt + 1}/{retries} failed; retrying", file=sys.stderr)
             time.sleep(30)
-    print("backend never came up; proceeding (jax will raise)", file=sys.stderr)
+    # Do NOT proceed: on this relay jax.devices() HANGS (not raises) when
+    # the backend is down, which would wedge the driver's bench run forever.
+    raise SystemExit("bench.py: accelerator backend unreachable after all probes (relay down)")
 
 
 def main() -> None:
