@@ -32,6 +32,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--scale", type=int, default=4)
     parser.add_argument("--reps", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=1, help="images per forward (batched serving throughput)")
     parser.add_argument("--f32", action="store_true", help="also time float32")
     parser.add_argument("--no-fused", action="store_true", help="keep the linen/XLA path")
     args = parser.parse_args()
@@ -50,7 +51,9 @@ def main() -> None:
                 model.half()
                 if hasattr(model, "enable_fused") and not args.no_fused:
                     model.enable_fused(True)
-            x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)), jnp.bfloat16 if half else jnp.float32)
+            x = jnp.asarray(
+                np.random.default_rng(0).random((args.batch, h, w, 3)), jnp.bfloat16 if half else jnp.float32
+            )
             variables = jax.device_put(model.variables)
 
             def chained(v, inp):
@@ -70,9 +73,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 float(f(variables, x))
                 best = min(best, time.perf_counter() - t0)
-            per_image = best / args.reps
+            per_image = best / (args.reps * args.batch)
             print(
-                f"{name:8s} {tag:5s} x{args.scale} @{h}x{w}: {per_image * 1000:8.2f} ms/img  "
+                f"{name:8s} {tag:5s} x{args.scale} @{h}x{w} b{args.batch}: {per_image * 1000:8.2f} ms/img  "
                 f"{h * w / 1e6 / per_image:6.3f} MP/s  (compile {compile_s:.0f}s)",
                 flush=True,
             )

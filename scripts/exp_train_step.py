@@ -51,7 +51,10 @@ def main() -> None:
         "rcan": M.RCAN, "han": M.HAN, "maxsr": M.MaxSR, "imdn": M.IMDN,
         "vdsr": M.VDSR, "srcnn": M.SRCNN, "espcn": M.ESPCN, "srresnet": M.SRResNet,
     }[args.model]
-    model = cls.build(scale=4, fast_init=True)
+    try:
+        model = cls.build(scale=4, fast_init=True)
+    except TypeError:  # small conv models init fast anyway and lack the kwarg
+        model = cls.build(scale=4)
     if args.fused:
         if not hasattr(type(model.module), "fused_train"):
             raise SystemExit(f"{args.model} has no fused_train path")

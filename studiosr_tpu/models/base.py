@@ -187,6 +187,33 @@ class Model(metaclass=_ModelMeta):
             self._sharded_fwd_cache = (self._jit_forward, jax.jit(self._forward_sharded))
         return self._sharded_fwd_cache[1](self.variables, x)
 
+    def _forward_uint8(self, variables, x: jnp.ndarray, sharded: bool) -> jnp.ndarray:
+        """uint8 NHWC batch -> upscaled uint8 NHWC batch, entirely on device.
+
+        The normalize / scale / round / clip steps ride in the same XLA
+        program as the forward, so host transfers are uint8 both ways —
+        4x fewer bytes than the float batch path. Used by tiled inference,
+        where D2H volume (HR tiles) dominates the host<->device traffic.
+        """
+        in_range = 255.0 if self.img_range == 1.0 else 1.0
+        fwd = self._forward_sharded if sharded else self._forward
+        y = fwd(variables, x.astype(jnp.float32) / in_range) * in_range
+        return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+
+    def forward_uint8(self, x: jnp.ndarray, sharded: bool = False) -> jax.Array:
+        """Jitted :meth:`_forward_uint8`; returns the DEVICE array without
+        blocking, so callers can pipeline host transfers against the next
+        batch's compute. Cache invalidates with ``_jit_forward`` (rebuilt by
+        ``enable_fused``/``half``/``set_matmul_precision``)."""
+        cache = getattr(self, "_uint8_fwd_cache", None)
+        if cache is None or cache[0] is not self._jit_forward:
+            self._uint8_fwd_cache = (
+                self._jit_forward,
+                jax.jit(lambda v, b: self._forward_uint8(v, b, sharded=False)),
+                jax.jit(lambda v, b: self._forward_uint8(v, b, sharded=True)),
+            )
+        return self._uint8_fwd_cache[2 if sharded else 1](self.variables, x)
+
     def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
         """Train-mode apply (dropout active, batch stats updating)."""
         return self.module.apply(variables, x, train=True, rngs=rngs, mutable=list(mutable))

@@ -24,6 +24,8 @@ context beyond the overlap, which ``tile_overlap`` controls.
 from __future__ import annotations
 
 import math
+from collections import deque
+
 import numpy as np
 
 __all__ = ["tiled_inference", "tile_grid"]
@@ -55,7 +57,6 @@ def tiled_inference(
     except at image borders where the halo is kept.
     """
     scale = model.scale
-    in_range = 255.0 if model.img_range == 1.0 else 1.0
     h, w, c = image.shape
 
     tile = min(tile, max(h, w))
@@ -79,7 +80,6 @@ def tiled_inference(
     coords = [(y, x) for y in ys for x in xs]
 
     tiles = np.stack([padded[y : y + tile, x : x + tile] for y, x in coords])
-    tiles = tiles.astype(np.float32) / in_range
 
     n = len(coords)
     batch = min(tile_batch, int(2 ** math.ceil(math.log2(max(1, n)))))
@@ -88,25 +88,9 @@ def tiled_inference(
         batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
     out_tile = tile * scale
-    output = np.zeros((ph * scale, pw * scale, c), dtype=np.float32)
+    output = np.zeros((ph * scale, pw * scale, c), dtype=np.uint8)
 
-    for start in range(0, n, batch):
-        chunk = tiles[start : start + batch]
-        if len(chunk) < batch:  # zero-pad the tail batch to the static shape
-            fill = np.zeros((batch - len(chunk), tile, tile, c), np.float32)
-            chunk = np.concatenate([chunk, fill])
-        x = chunk
-        if mesh is not None:
-            from studiosr_tpu.parallel.mesh import shard_batch
-
-            x = shard_batch(x, mesh)
-            # sharded_forward: no per-image tail lax.map (it would serialize
-            # the device-sharded batch); tails take the batch-parallel XLA
-            # path, block kernels ride the grid batch dim as usual.
-            sr = np.asarray(model.sharded_forward(x)) * in_range
-        else:
-            sr = np.asarray(model(x)) * in_range
-
+    def _write(sr: np.ndarray, start: int) -> None:
         for j, (y, x0) in enumerate(coords[start : start + batch]):
             oy, ox = y * scale, x0 * scale
             # Interior region: discard the halo except at the borders.
@@ -116,5 +100,41 @@ def tiled_inference(
             right = out_tile if x0 + tile >= pw else out_tile - tile_overlap * scale
             output[oy + top : oy + bottom, ox + left : ox + right] = sr[j, top:bottom, left:right]
 
-    output = output[: h * scale, : w * scale]
-    return np.clip(np.round(output), 0, 255).astype(np.uint8)
+    # Host<->device traffic rides as uint8 both ways (normalize and
+    # round/clip/cast live inside the jitted program, Model.forward_uint8),
+    # and up to `inflight` batches are dispatched ahead of the transfer:
+    # JAX dispatch is async, so batch k's D2H copy + host reassembly overlap
+    # batch k+1's compute instead of serializing on the per-fetch RPC
+    # latency (~24 ms on a relay-attached chip, per-batch compile excluded).
+    inflight: deque = deque()
+    depth = 2
+
+    def _drain() -> None:
+        sr_dev, start = inflight.popleft()
+        _write(np.asarray(sr_dev), start)
+
+    for start in range(0, n, batch):
+        chunk = tiles[start : start + batch]
+        if len(chunk) < batch:  # zero-pad the tail batch to the static shape
+            fill = np.zeros((batch - len(chunk), tile, tile, c), np.uint8)
+            chunk = np.concatenate([chunk, fill])
+        x = chunk
+        if mesh is not None:
+            from studiosr_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(x, mesh)
+            # sharded=True: no per-image tail lax.map (it would serialize
+            # the device-sharded batch); tails take the batch-parallel XLA
+            # path, block kernels ride the grid batch dim as usual.
+        sr_dev = model.forward_uint8(x, sharded=mesh is not None)
+        try:
+            sr_dev.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # backend-optional
+            pass
+        inflight.append((sr_dev, start))
+        if len(inflight) > depth:
+            _drain()
+    while inflight:
+        _drain()
+
+    return output[: h * scale, : w * scale]
