@@ -35,6 +35,7 @@ def main() -> None:
     p.add_argument("--tile-batch", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--whole", action="store_true", help="also time whole-image inference at this shape")
+    p.add_argument("--host-loop", action="store_true", help="force the host tile loop (one dispatch per batch)")
     args = p.parse_args()
 
     import numpy as np
@@ -60,7 +61,8 @@ def main() -> None:
 
     def run_tiled():
         return model.inference_tiled(
-            image, tile=args.tile, tile_overlap=args.tile_overlap, tile_batch=args.tile_batch
+            image, tile=args.tile, tile_overlap=args.tile_overlap, tile_batch=args.tile_batch,
+            device_loop=False if args.host_loop else None,
         )
 
     print(f"{args.model} x{args.scale}: {h}x{w} LR ({mp:.2f} MP) -> {h*args.scale}x{w*args.scale}")

@@ -240,16 +240,26 @@ class Model(metaclass=_ModelMeta):
         return np.clip(np.round(merged), 0, 255).astype(np.uint8)
 
     def inference_tiled(
-        self, image: np.ndarray, tile: int = 128, tile_overlap: int = 16, tile_batch: int = 8, mesh=None
+        self,
+        image: np.ndarray,
+        tile: int = 128,
+        tile_overlap: int = 16,
+        tile_batch: int = 8,
+        mesh=None,
+        device_loop: bool | None = None,
     ) -> np.ndarray:
         """Tiled-patch inference (static shapes; one compile per tile size).
 
         Preferable over :meth:`inference` for large or variably-sized inputs —
-        see parallel/tiled.py for the pipeline and its sharded variant.
+        see parallel/tiled.py for the pipeline, the one-jit ``device_loop``
+        mode, and the sharded variant.
         """
         from studiosr_tpu.parallel.tiled import tiled_inference
 
-        return tiled_inference(self, image, tile=tile, tile_overlap=tile_overlap, tile_batch=tile_batch, mesh=mesh)
+        return tiled_inference(
+            self, image, tile=tile, tile_overlap=tile_overlap, tile_batch=tile_batch, mesh=mesh,
+            device_loop=device_loop,
+        )
 
     # -- dtype policy --------------------------------------------------------
 

@@ -77,6 +77,24 @@ def test_tiled_inference_matches_whole_image_conv():
     np.testing.assert_array_equal(whole, tiled)
 
 
+def test_tiled_device_loop_matches_host_loop():
+    """The one-jit device tile loop must be pixel-identical to the host loop
+    (same grid, same interior-write order — including a snapped last tile
+    whose interior overwrites its predecessor's) and to whole-image
+    inference for a local-conv model with halo >= receptive field."""
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = ESPCN.build(scale=2)
+    # 40 is not a multiple of stride 12 -> the last tile snaps to the edge.
+    image = np.random.default_rng(3).integers(0, 256, (40, 58, 3), dtype=np.uint8)
+    whole = model.inference(image)
+    host = tiled_inference(model, image, tile=24, tile_overlap=6, tile_batch=4, device_loop=False)
+    dev = tiled_inference(model, image, tile=24, tile_overlap=6, tile_batch=4, device_loop=True)
+    np.testing.assert_array_equal(host, dev)
+    np.testing.assert_array_equal(whole, dev)
+
+
 def test_tiled_inference_short_wide_image():
     """Tile larger than one image dimension: edge-pad fallback path."""
     from studiosr_tpu.models import ESPCN
