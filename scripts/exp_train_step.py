@@ -30,6 +30,10 @@ def main() -> None:
         ],
     )
     parser.add_argument("--fwd-only", action="store_true", help="time the loss forward alone")
+    parser.add_argument(
+        "--scan", action="store_true",
+        help="chain all steps in ONE jit via lax.scan (pure device time; no per-step dispatch RPC)",
+    )
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--crop", type=int, default=64)
     parser.add_argument("--steps", type=int, default=10)
@@ -64,7 +68,7 @@ def main() -> None:
     mesh = get_mesh()
     tx = build_optimizer()
     state = prepare_state(model.variables, tx, mesh)
-    step_fn = make_train_step(module, tx, l1_loss, bfloat16=True, mesh=mesh)
+    step_fn = make_train_step(module, tx, l1_loss, bfloat16=True, mesh=mesh, chain=args.steps if args.scan else 0)
     if args.fwd_only:
         import jax.numpy as jnp
 
@@ -94,12 +98,18 @@ def main() -> None:
         for i in range(args.steps):
             l = fwd_j(state.params, lq, gt, jax.random.fold_in(key, i))
         final = float(l)
+    elif args.scan:  # one dispatch+fetch for the whole chain
+        state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, 1))
+        final = float(loss)
     else:
         for i in range(args.steps):
             state, loss = step_fn(state, lq, gt, jax.random.fold_in(key, i))
         final = float(loss)
     dt = (time.perf_counter() - t0) / args.steps
-    tag = args.model + " " + ("fwd-only " if args.fwd_only else "") + ("fused" if args.fused else "plain")
+    tag = (
+        args.model + " " + ("fwd-only " if args.fwd_only else "") + ("scan " if args.scan else "")
+        + ("fused" if args.fused else "plain")
+    )
     print(f"{tag}: {dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})")
 
 

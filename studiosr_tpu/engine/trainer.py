@@ -75,6 +75,7 @@ class Trainer:
         fused_train: Optional[bool] = None,
         ema_decay: float = 0.0,
         grad_accum_steps: int = 1,
+        steps_per_dispatch: int = 1,
     ) -> None:
         self.model = model
         self.dataset = train_dataset
@@ -125,6 +126,22 @@ class Trainer:
                     stacklevel=2,
                 )
 
+        # steps_per_dispatch > 1: k optimizer steps ride ONE device dispatch
+        # (lax.scan over k stacked batches, parallel/train_step.py
+        # chain_batches) — same step sequence, same rng folds, but the
+        # per-call dispatch/fetch RPC overhead (substantial on relay-attached
+        # chips) is paid once per k steps. Logging/eval still fire at their
+        # iteration boundaries (loss is read from the per-step losses array);
+        # eval sees the state at the end of the enclosing chunk, so keep
+        # eval_interval a multiple of k for exact cadence parity.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        if self.steps_per_dispatch > 1 and eval_interval % self.steps_per_dispatch:
+            warnings.warn(
+                f"eval_interval={eval_interval} is not a multiple of "
+                f"steps_per_dispatch={self.steps_per_dispatch}; evaluation "
+                "fires at the end of the chunk containing each boundary",
+                stacklevel=2,
+            )
         self.criterion = get_loss(loss_function)
         self.ema_decay = float(ema_decay)
         self.best_psnr = 0.0
@@ -170,10 +187,16 @@ class Trainer:
         train_module = self.model.module
         if self.fused_train:
             train_module = train_module.clone(fused_train=True)
-        step_fn = make_train_step(
-            train_module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh,
-            ema_decay=self.ema_decay,
-        )
+
+        def build_step(chain: int):
+            return make_train_step(
+                train_module, self.tx, self.criterion, bfloat16=self.bfloat16, mesh=self.mesh,
+                ema_decay=self.ema_decay, chain=chain, chain_batches=chain > 0,
+            )
+
+        k = self.steps_per_dispatch
+        step_fn = build_step(k if k > 1 else 0)
+        single_fn = step_fn if k == 1 else None  # tail steps; built on demand
         logger = Logger(os.path.join(self.ckpt_path, "train.log")) if self.data_handler.is_main_process else None
 
         if self.profile_dir:
@@ -181,35 +204,68 @@ class Trainer:
 
         base_rng = jax.random.PRNGKey(self.seed)
         window_start, window_images = time.perf_counter(), 0
+        def log_step(iterations: int, loss_value: float) -> None:
+            nonlocal window_start, window_images
+            elapsed = time.perf_counter() - window_start
+            rate = window_images / max(elapsed, 1e-9)
+            print(
+                f" Iterations = {iterations:<8} loss = {loss_value:.5f} ({rate:7.1f} img/s)",
+                end="\r",
+            )
+            window_start, window_images = time.perf_counter(), 0
+
+        def eval_and_checkpoint(iterations: int) -> None:
+            psnr, ssim = self.evaluate()
+            log = f" Iterations = {iterations:<8}  PSNR: {psnr:6.3f} SSIM: {ssim:6.4f}"
+            if logger:
+                logger.info(log)
+            if self.best_psnr <= psnr:
+                self.best_psnr = psnr
+                self.save("best")
+            self.save("latest")
+
         try:
             while self.data_handler.iterations < self.max_iters:
+                if k > 1 and self.data_handler.iterations + k <= self.max_iters:
+                    # k steps, one dispatch: stack k batches (+ their folded
+                    # keys) and scan inside the jit — the identical step
+                    # sequence, minus k-1 dispatch/fetch round-trips.
+                    lqs, gts, its = [], [], []
+                    for _ in range(k):
+                        lq, gt = self.data_handler.get_batch()
+                        lqs.append(lq)
+                        gts.append(gt)
+                        its.append(self.data_handler.iterations)
+                        window_images += lq.shape[0]
+                    batch = shard_batch((np.stack(lqs), np.stack(gts)), self.mesh, axis=1)
+                    rngs = jnp.stack([jax.random.fold_in(base_rng, it) for it in its])
+                    self.state, losses = step_fn(self.state, batch[0], batch[1], rngs)
+                    losses_host = None
+                    for j, iterations in enumerate(its):
+                        if iterations % self.log_interval == 0:
+                            if losses_host is None:
+                                losses_host = np.asarray(losses)
+                            log_step(iterations, float(losses_host[j]))
+                    due = [it for it in its if it % self.eval_interval == 0]
+                    if due and self.data_handler.is_main_process:
+                        eval_and_checkpoint(due[-1])
+                    continue
+
+                if single_fn is None:
+                    single_fn = build_step(0)  # tail: max_iters % k != 0
                 # PrefetchLoader normalizes uint8 samples to [0,1] float32.
                 lq, gt = self.data_handler.get_batch()
                 batch = shard_batch((lq, gt), self.mesh)
                 iterations = self.data_handler.iterations
                 rng = jax.random.fold_in(base_rng, iterations)
-                self.state, loss = step_fn(self.state, batch[0], batch[1], rng)
+                self.state, loss = single_fn(self.state, batch[0], batch[1], rng)
                 window_images += lq.shape[0]
 
                 if iterations % self.log_interval == 0:
-                    loss_value = float(loss)
-                    elapsed = time.perf_counter() - window_start
-                    rate = window_images / max(elapsed, 1e-9)
-                    print(
-                        f" Iterations = {iterations:<8} loss = {loss_value:.5f} ({rate:7.1f} img/s)",
-                        end="\r",
-                    )
-                    window_start, window_images = time.perf_counter(), 0
+                    log_step(iterations, float(loss))
 
                 if iterations % self.eval_interval == 0 and self.data_handler.is_main_process:
-                    psnr, ssim = self.evaluate()
-                    log = f" Iterations = {iterations:<8}  PSNR: {psnr:6.3f} SSIM: {ssim:6.4f}"
-                    if logger:
-                        logger.info(log)
-                    if self.best_psnr <= psnr:
-                        self.best_psnr = psnr
-                        self.save("best")
-                    self.save("latest")
+                    eval_and_checkpoint(iterations)
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()

@@ -29,16 +29,19 @@ def get_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mes
     return Mesh(np.array(devices), (axis_name,))
 
 
-def data_sharding(mesh: Mesh, ndim: int = 4, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis over the mesh; rest replicated."""
-    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 4, axis_name: str = "data", axis: int = 0) -> NamedSharding:
+    """Shard the batch axis (``axis``, default leading) over the mesh; rest
+    replicated — ``axis=1`` for step-stacked batches (k, B, ...)."""
+    spec = [None] * ndim
+    spec[axis] = axis_name
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data", axis: int = 0):
     """Shard a host batch's leading axis over the mesh.
 
     Single-process: ``device_put`` with a batch-axis NamedSharding. Multi-host
@@ -50,7 +53,7 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     multihost = jax.process_count() > 1
 
     def put(x):
-        sharding = data_sharding(mesh, np.ndim(x), axis_name)
+        sharding = data_sharding(mesh, np.ndim(x), axis_name, axis=axis)
         if multihost:
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)

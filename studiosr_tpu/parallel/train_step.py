@@ -86,11 +86,26 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     ema_decay: float = 0.0,
+    chain: int = 0,
+    chain_batches: bool = False,
 ):
     """Build ``(state, lq, gt, rng) -> (state, loss)`` jitted over ``mesh``.
 
     The returned callable expects the state replicated and the batch sharded
     on the mesh's data axis (see :func:`prepare_state` / ``shard_batch``).
+
+    ``chain > 0`` runs that many optimizer steps per call under ``lax.scan``
+    (rng folded per step, the SAME batch re-used each step) — a benchmarking
+    mode that measures pure device step time with one dispatch/fetch,
+    independent of the per-call RPC overhead of a relay-attached chip.
+
+    ``chain_batches=True`` (with ``chain=k``) is the PRODUCTION chained
+    form (Trainer ``steps_per_dispatch``): the callable becomes
+    ``(state, lqs, gts, rngs) -> (state, losses)`` where ``lqs``/``gts``
+    stack k batches on a new leading axis (sharded on axis 1 —
+    ``shard_batch(..., axis=1)``), ``rngs`` stacks k per-step keys, and
+    ``losses`` has shape (k,). Step i consumes batch i with key i — the
+    exact sequence k separate calls would run, in one dispatch.
     """
     mesh = mesh if mesh is not None else get_mesh()
     has_bn = None  # resolved at first trace from state.batch_stats
@@ -141,8 +156,34 @@ def make_train_step(
 
     repl = replicate_sharding(mesh)
     batch_sh = data_sharding(mesh, 4)
+    if chain and chain_batches:
+
+        def stacked_fn(state: TrainState, lqs, gts, rngs):
+            def body(carry, xs):
+                lq, gt, r = xs
+                new_state, loss = step_fn(carry, lq, gt, r)
+                return new_state, loss
+
+            return jax.lax.scan(body, state, (lqs, gts, rngs))
+
+        outer_fn = stacked_fn
+        batch_sh = data_sharding(mesh, 5, axis=1)
+    elif chain:
+
+        def chained_fn(state: TrainState, lq, gt, rng):
+            def body(carry, i):
+                new_state, loss = step_fn(carry, lq, gt, jax.random.fold_in(rng, i))
+                return new_state, loss
+
+            state, losses = jax.lax.scan(body, state, jnp.arange(chain))
+            return state, losses[-1]
+
+        outer_fn = chained_fn
+    else:
+        outer_fn = step_fn
+
     jitted = jax.jit(
-        step_fn,
+        outer_fn,
         in_shardings=(repl, batch_sh, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),

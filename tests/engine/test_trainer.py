@@ -62,6 +62,39 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "train.log")
 
 
+def test_trainer_steps_per_dispatch_matches_single(tmp_path):
+    """steps_per_dispatch=2 (k steps per device dispatch, lax.scan over
+    stacked batches) must reproduce the k=1 run exactly: same batch order,
+    same per-step rng folds, same final parameters — plus a tail single
+    step when max_iters % k != 0."""
+    import jax
+
+    dataset = SyntheticPairs()
+
+    def run(k, path, max_iters):
+        model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+        trainer = Trainer(
+            model,
+            dataset,
+            None,
+            batch_size=8,
+            num_workers=1,
+            max_iters=max_iters,
+            eval_interval=100,
+            ckpt_path=str(path),
+            bfloat16=False,
+            steps_per_dispatch=k,
+        )
+        trainer.run()
+        return jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+
+    # max_iters=5 with k=2 exercises two chained dispatches + one tail step.
+    p1 = run(1, tmp_path / "k1", 5)
+    p2 = run(2, tmp_path / "k2", 5)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
 def test_trainer_resume(tmp_path):
     dataset = SyntheticPairs()
 

@@ -23,6 +23,41 @@ def test_entry_compiles_tiny():
     assert out.shape == (1, 256, 256, 3)
 
 
+def test_chained_train_step_matches_sequential():
+    """chain=2 (one jit, lax.scan over steps — the dispatch-free bench mode)
+    must produce the same state/loss as two sequential step calls with the
+    per-step folded rngs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models import EDSR
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    tx = optax.sgd(1e-2)
+    mesh = get_mesh(jax.devices()[:1])
+    rng = np.random.default_rng(4)
+    lq, gt = shard_batch(
+        (jnp.asarray(rng.random((2, 8, 8, 3), np.float32)), jnp.asarray(rng.random((2, 16, 16, 3), np.float32))),
+        mesh,
+    )
+    key = jax.random.PRNGKey(7)
+
+    step = make_train_step(model.module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+    state = prepare_state(model.variables, tx, mesh)
+    state, _ = step(state, lq, gt, jax.random.fold_in(key, 0))
+    state, loss_seq = step(state, lq, gt, jax.random.fold_in(key, 1))
+
+    chained = make_train_step(model.module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False, chain=2)
+    state_c, loss_chain = chained(prepare_state(model.variables, tx, mesh), lq, gt, key)
+
+    np.testing.assert_allclose(float(loss_seq), float(loss_chain), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_dp_matches_single_device():
     """The sharded train step must produce the same update as single-device
     execution (gradient all-reduce correctness)."""
