@@ -35,6 +35,7 @@ def main() -> None:
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--only", nargs="*", default=None, help="substring filter on variant names")
     args = p.parse_args()
@@ -42,7 +43,7 @@ def main() -> None:
     h = w = args.size
     reps = args.reps
     model = HAN.build(scale=4, fast_init=True).half()
-    x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).random((args.batch, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
 
     orig_lam = hn.LAM.__call__
