@@ -1,12 +1,14 @@
-"""End-to-end Trainer throughput vs steps_per_dispatch.
+"""Training-loop throughput vs steps-per-dispatch (barrier-bounded).
 
     python scripts/exp_trainer_dispatch.py --model swinir --fused --k 1
     python scripts/exp_trainer_dispatch.py --model swinir --fused --k 8
 
-Runs the REAL Trainer loop (data handler, shard_batch, logging cadence) on
-synthetic pairs and reports steady-state img/s — the end-to-end number that
-per-step dispatch RPC overhead actually moves (exp_train_step.py --scan
-isolates the pure device step time instead).
+Simulates the Trainer hot loop at dispatch granularity ``k``
+(make_train_step chain_batches — what Trainer(steps_per_dispatch=k) runs)
+with a loss fetch every ``--fetch-every`` iterations in BOTH modes (the
+log-cadence barrier), timing whole fetch-to-fetch cycles. This avoids the
+async-dispatch pitfall: a loop that never fetches only measures enqueue
+rate, not device progress.
 """
 
 from __future__ import annotations
@@ -19,94 +21,78 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class SyntheticPairs:
-    def __init__(self, n: int, size: int, scale: int):
-        import numpy as np
-
-        rng = np.random.default_rng(0)
-        self.gt = rng.random((n, size * scale, size * scale, 3), dtype=np.float32)
-        self.lq = self.gt.reshape(n, size, scale, size, scale, 3).mean(axis=(2, 4)).astype("float32")
-
-    def __len__(self):
-        return len(self.gt)
-
-    def __getitem__(self, idx):
-        return self.lq[idx], self.gt[idx]
-
-
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="swinir")
     p.add_argument("--fused", action="store_true")
-    p.add_argument("--k", type=int, default=1, help="steps_per_dispatch")
+    p.add_argument("--k", type=int, default=1, help="steps per dispatch")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--crop", type=int, default=64)
-    p.add_argument("--iters", type=int, default=48)
-    p.add_argument("--warmup", type=int, default=16, help="iterations excluded from the rate")
+    p.add_argument("--fetch-every", type=int, default=8, help="iterations per loss fetch (log cadence)")
+    p.add_argument("--cycles", type=int, default=5, help="timed fetch cycles (plus one warmup)")
     args = p.parse_args()
 
-    import tempfile
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from studiosr_tpu.engine import Trainer
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
     from studiosr_tpu.utils.helpers import enable_compilation_cache
+    from studiosr_tpu.utils.losses import l1_loss
     from studiosr_tpu.zoo.registry import get_model_class
 
     enable_compilation_cache()
+    k = args.k
+    assert args.fetch_every % k == 0, "fetch cadence must be a multiple of k"
 
     cls = get_model_class(args.model)
     try:
         model = cls.build(scale=4, fast_init=True)
     except TypeError:
         model = cls.build(scale=4)
+    module = model.module.clone(fused_train=True) if args.fused else model.module
 
-    dataset = SyntheticPairs(args.batch * 4, args.crop, 4)
-    trainer = Trainer(
-        model,
-        dataset,
-        None,
-        batch_size=args.batch,
-        num_workers=2,
-        max_iters=args.iters,
-        eval_interval=10**9,
-        ckpt_path=tempfile.mkdtemp(),
-        log_interval=10**9,
-        fused_train=args.fused or None,
-        steps_per_dispatch=args.k,
+    mesh = get_mesh()
+    tx = build_optimizer()
+    state = prepare_state(model.variables, tx, mesh)
+    step_fn = make_train_step(
+        module, tx, l1_loss, bfloat16=True, mesh=mesh, chain=k if k > 1 else 0, chain_batches=k > 1
     )
 
-    # Steady-state rate from get_batch timestamps (one call per iteration,
-    # always immediately before its step's dispatch): the span from call
-    # ``warmup`` to the final call covers iters - warmup - 1 full iteration
-    # periods including all host-side work — compile lives entirely before
-    # the warmup cutoff.
-    from studiosr_tpu.data import DataHandler
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.random((args.batch, args.crop, args.crop, 3), np.float32))
+    gt = jnp.asarray(rng.random((args.batch, args.crop * 4, args.crop * 4, 3), np.float32))
+    key = jax.random.PRNGKey(0)
+    it = 0
 
-    stamps = []
-    orig_get = DataHandler.get_batch
+    def run_cycle():
+        nonlocal state, it
+        loss = None
+        for _ in range(args.fetch_every // k):
+            if k > 1:
+                lqs = jnp.broadcast_to(lq, (k,) + lq.shape)
+                gts = jnp.broadcast_to(gt, (k,) + gt.shape)
+                rngs = jnp.stack([jax.random.fold_in(key, it + i) for i in range(k)])
+                b = shard_batch((np.asarray(lqs), np.asarray(gts)), mesh, axis=1)
+                state, losses = step_fn(state, b[0], b[1], rngs)
+                loss = losses[-1]
+            else:
+                b = shard_batch((np.asarray(lq), np.asarray(gt)), mesh)
+                state, loss = step_fn(state, b[0], b[1], jax.random.fold_in(key, it))
+            it += k
+        return float(loss)  # barrier: the cycle is done only when its last loss is real
 
-    def timed_get(self):
-        stamps.append(time.perf_counter())
-        return orig_get(self)
-
-    DataHandler.get_batch = timed_get
     t0 = time.perf_counter()
-    try:
-        trainer.run()
-    finally:
-        DataHandler.get_batch = orig_get
-    total = time.perf_counter() - t0
+    run_cycle()
+    print(f"compile+first cycle: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # For k > 1 the k get_batch calls of a chunk cluster before its single
-    # dispatch, so only chunk-aligned first-call-to-first-call spans measure
-    # whole iteration periods.
-    start = ((args.warmup + args.k - 1) // args.k) * args.k
-    last_chunk_start = ((len(stamps) - 1) // args.k) * args.k
-    n_steps = last_chunk_start - start
-    assert n_steps >= 8, f"too few iterations past warmup ({n_steps})"
-    dt = (stamps[last_chunk_start] - stamps[start]) / n_steps
+    t0 = time.perf_counter()
+    for _ in range(args.cycles):
+        final = run_cycle()
+    dt = (time.perf_counter() - t0) / (args.cycles * args.fetch_every)
     print(
-        f"{args.model} k={args.k} {'fused' if trainer.fused_train else 'plain'}: "
-        f"run {total:.1f}s (incl compile); steady {dt:.3f} s/step = {args.batch / dt:.1f} img/s",
+        f"{args.model} k={k} {'fused' if args.fused else 'plain'} (fetch/{args.fetch_every}): "
+        f"{dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})",
         flush=True,
     )
 

@@ -32,14 +32,44 @@ def main() -> None:
     parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0 = whole image)")
     parser.add_argument("--tile-overlap", type=int, default=16, help="tile halo in LR pixels")
     parser.add_argument("--self-ensemble", action="store_true", help="8-way rot/flip test-time ensemble")
+    parser.add_argument("--half", action="store_true", help="bf16 + fused Pallas serving path (throughput mode)")
+    parser.add_argument(
+        "--batch", type=int, default=1,
+        help="batch same-shaped images through one dispatch (whole-image mode only)",
+    )
     args = parser.parse_args()
 
     path = args.image
     paths = [path] if os.path.isfile(path) else [os.path.join(path, f) for f in get_image_files(path)]
     images = {os.path.basename(p): imread(p) for p in paths}
     model = models[args.model].from_pretrained(scale=args.scale)
+    if args.half:
+        model.half()
+        if hasattr(model, "enable_fused"):
+            model.enable_fused(True)
 
     os.makedirs(args.output, exist_ok=True)
+
+    def save(file_name, out):
+        name = os.path.splitext(file_name)[0]
+        save_path = os.path.join(args.output, f"{name}.{args.model}_x{args.scale}.png")
+        imwrite(save_path, out)
+        print(" -> ", save_path)
+
+    if args.batch > 1 and not (args.tile or args.self_ensemble):
+        # Group same-shaped images: each group rides stacked dispatches
+        # (one compile per distinct shape, as with single images).
+        by_shape: dict = {}
+        for file_name, image in images.items():
+            by_shape.setdefault(image.shape, []).append(file_name)
+        for shape, names in by_shape.items():
+            for i in range(0, len(names), args.batch):
+                chunk = names[i : i + args.batch]
+                outs = model.inference_batch([images[n] for n in chunk])
+                for n, out in zip(chunk, outs):
+                    save(n, out)
+        return
+
     for file_name, image in images.items():
         if args.tile:
             from studiosr_tpu.parallel.tiled import tiled_inference
@@ -49,10 +79,7 @@ def main() -> None:
             out = model.inference_with_self_ensemble(image)
         else:
             out = model.inference(image)
-        name = os.path.splitext(file_name)[0]
-        save_path = os.path.join(args.output, f"{name}.{args.model}_x{args.scale}.png")
-        imwrite(save_path, out)
-        print(" -> ", save_path)
+        save(file_name, out)
 
 
 if __name__ == "__main__":

@@ -221,12 +221,20 @@ class Model(metaclass=_ModelMeta):
     # -- numpy inference contract -------------------------------------------
 
     def inference(self, image: np.ndarray) -> np.ndarray:
-        """uint8 HWC RGB -> upscaled uint8 HWC RGB (``common.py:36-48``)."""
-        scale = 255.0 if self.img_range == 1.0 else 1.0
-        x = jnp.asarray(image.astype(np.float32) / scale)[None]
-        y = self._jit_forward(self.variables, x)[0] * scale
-        y = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
-        return np.asarray(y)
+        """uint8 HWC RGB -> upscaled uint8 HWC RGB (``common.py:36-48``).
+
+        Rides :meth:`forward_uint8`: normalize and round/clip/cast live in
+        the jitted program, so the host boundary carries uint8 both ways.
+        """
+        return np.asarray(self.forward_uint8(np.asarray(image)[None])[0])
+
+    def inference_batch(self, images) -> list:
+        """Batched :meth:`inference` over same-shaped images — ONE dispatch
+        for the whole stack (batch rides the fused kernels' grid; per-call
+        dispatch and transfer latency amortize). Returns a list of uint8
+        HWC arrays in input order."""
+        batch = np.stack([np.asarray(im) for im in images])
+        return list(np.asarray(self.forward_uint8(batch)))
 
     def inference_with_self_ensemble(self, image: np.ndarray) -> np.ndarray:
         """8-way test-time ensemble (``common.py:50-67``)."""

@@ -69,3 +69,19 @@ def test_cli_tiled_matches_whole(tmp_path, monkeypatch, tiny_pretrained):
     assert a.shape == b.shape
     # uint8 rounding at tile seams: allow 1 LSB.
     assert int(np.max(np.abs(a.astype(int) - b.astype(int)))) <= 1
+
+
+def test_cli_batched_matches_single(tmp_path, monkeypatch, tiny_pretrained):
+    """--batch N groups same-shaped images into stacked dispatches; outputs
+    must be pixel-identical to the per-image path (inference_batch ==
+    inference: the same jitted uint8 program, batch on the grid)."""
+    _write_images(tmp_path, n=3)
+    out1 = tmp_path / "out1"
+    out2 = tmp_path / "out2"
+    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+                           "--output", str(out1)])
+    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+                           "--output", str(out2), "--batch", "2"])
+    assert sorted(os.listdir(out1)) == sorted(os.listdir(out2))
+    for name in os.listdir(out1):
+        np.testing.assert_array_equal(imread(str(out1 / name)), imread(str(out2 / name)))
