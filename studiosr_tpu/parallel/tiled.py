@@ -102,10 +102,9 @@ def tiled_inference(
         batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
     if device_loop is None:
-        device_loop = mesh is None and n <= 512
+        device_loop = n <= 512
     if device_loop:
-        assert mesh is None, "device_loop tiling is single-device; pass device_loop=False with a mesh"
-        return _device_tiled(model, padded, coords, tile, tile_overlap, batch, h, w)
+        return _device_tiled(model, padded, coords, tile, tile_overlap, batch, h, w, mesh=mesh)
 
     tiles = np.stack([padded[y : y + tile, x : x + tile] for y, x in coords])
 
@@ -162,7 +161,9 @@ def tiled_inference(
     return output[: h * scale, : w * scale]
 
 
-def _device_tiled(model, padded: np.ndarray, coords, tile: int, tile_overlap: int, batch: int, h: int, w: int):
+def _device_tiled(
+    model, padded: np.ndarray, coords, tile: int, tile_overlap: int, batch: int, h: int, w: int, mesh=None
+):
     """One-jit tiled inference: the padded uint8 LR image goes to the device
     once; tile extraction (static ``lax.slice`` per tile — coords are
     host-static), the batched forward (``lax.map`` over fixed-size batches,
@@ -170,6 +171,11 @@ def _device_tiled(model, padded: np.ndarray, coords, tile: int, tile_overlap: in
     overlap-discard reassembly (static ``.at[].set`` writes in the same
     order as the host loop, so snapped-edge overlaps resolve identically)
     all live in one compiled program; the uint8 HR image comes back once.
+
+    With a ``mesh``, each ``lax.map`` batch is sharded over the data axis —
+    one image spatially decomposed across chips (SP over ICI) in a single
+    dispatch; the fused tails decline per the sharded-forward contract
+    (``Model.sharded_forward``) and reassembly runs replicated.
 
     Recompiles per (padded shape, tile, overlap, batch) — reused across a
     fixed-shape stream. The cache also keys on ``model._jit_forward`` so
@@ -184,17 +190,27 @@ def _device_tiled(model, padded: np.ndarray, coords, tile: int, tile_overlap: in
     n = len(coords)
     n_b = -(-n // batch)
     out_tile = tile * scale
-    key = (model._jit_forward, ph, pw, c, tile, tile_overlap, batch)
+    key = (model._jit_forward, ph, pw, c, tile, tile_overlap, batch, mesh)
     cache = getattr(model, "_tiled_fwd_cache", None)
     if cache is None or cache[0] != key:
         coords_t = tuple((int(y), int(x)) for y, x in coords)
         ts = tile_overlap * scale
+        if mesh is not None:
+            from studiosr_tpu.parallel.mesh import data_sharding
+
+            batch_sh = data_sharding(mesh, 4)
 
         def run(variables, img):
             tiles = [lax.slice(img, (y, x, 0), (y + tile, x + tile, c)) for y, x in coords_t]
             tiles += [jnp.zeros((tile, tile, c), img.dtype)] * (n_b * batch - n)
             stack = jnp.stack(tiles).reshape(n_b, batch, tile, tile, c)
-            srs = lax.map(lambda b: model._forward_uint8(variables, b, sharded=False), stack)
+
+            def fwd(b):
+                if mesh is not None:
+                    b = lax.with_sharding_constraint(b, batch_sh)
+                return model._forward_uint8(variables, b, sharded=mesh is not None)
+
+            srs = lax.map(fwd, stack)
             srs = srs.reshape(n_b * batch, out_tile, out_tile, c)
             out = jnp.zeros((ph * scale, pw * scale, c), jnp.uint8)
             for j, (y, x0) in enumerate(coords_t):

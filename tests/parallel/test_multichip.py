@@ -142,6 +142,9 @@ def test_tiled_inference_short_wide_image():
 
 
 def test_tiled_inference_sharded_over_mesh():
+    """Both mesh modes — host loop (one dispatch per sharded batch) and
+    device loop (ONE dispatch, batches sharded inside lax.map) — must equal
+    whole-image inference exactly."""
     from studiosr_tpu.models import ESPCN
     from studiosr_tpu.parallel import get_mesh
     from studiosr_tpu.parallel.tiled import tiled_inference
@@ -150,8 +153,10 @@ def test_tiled_inference_sharded_over_mesh():
     mesh = get_mesh()
     image = np.random.default_rng(1).integers(0, 256, (64, 64, 3), dtype=np.uint8)
     whole = model.inference(image)
-    tiled = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=8, mesh=mesh)
-    np.testing.assert_array_equal(whole, tiled)
+    host = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=8, mesh=mesh, device_loop=False)
+    dev = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=8, mesh=mesh, device_loop=True)
+    np.testing.assert_array_equal(whole, host)
+    np.testing.assert_array_equal(whole, dev)
 
 
 def test_tiled_inference_sharded_fused_swinir():
