@@ -42,19 +42,43 @@ def main() -> None:
     h, w = args.hr_size
     s = args.scale
 
-    # (a) raw transfer bandwidth at the frame's shapes
+    # (a) raw transfer bandwidth at the frame's shapes. Each D2H rep fetches
+    # a DISTINCT device array: jax.Array caches its host copy, so re-fetching
+    # the same array measures nothing.
     lr_host = np.random.default_rng(0).integers(0, 256, (h, w, 3), dtype=np.uint8)
-    hr_dev = jnp.zeros((h * s, w * s, 3), jnp.uint8).block_until_ready()
-    for tag, fn, nbytes in (
-        ("H2D LR", lambda: jax.device_put(lr_host).block_until_ready(), lr_host.nbytes),
-        ("D2H HR", lambda: np.asarray(hr_dev), hr_dev.size),
-    ):
-        best = float("inf")
-        for _ in range(args.reps):
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.device_put(lr_host).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    print(f"  H2D LR: {lr_host.nbytes/1e6:.1f} MB in {best*1e3:.0f} ms = {lr_host.nbytes/1e6/best:.1f} MB/s",
+          flush=True)
+
+    nbytes = h * s * w * s * 3
+    fresh = jax.jit(lambda i: jnp.full((h * s, w * s, 3), i, jnp.uint8))
+    best = float("inf")
+    for i in range(args.reps):
+        a = fresh(i).block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(a)
+        best = min(best, time.perf_counter() - t0)
+    print(f"  D2H HR: {nbytes/1e6:.1f} MB in {best*1e3:.0f} ms = {nbytes/1e6/best:.1f} MB/s", flush=True)
+
+    # Do two concurrent fetch streams parallelize, or does the relay
+    # serialize the data plane? (If ~2x: thread the tiled fetch.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    half = jax.jit(lambda i: jnp.full((h * s // 2, w * s, 3), i, jnp.uint8))
+    best = float("inf")
+    with ThreadPoolExecutor(2) as pool:
+        for i in range(args.reps):
+            a1 = half(2 * i + 100).block_until_ready()
+            a2 = half(2 * i + 101).block_until_ready()
             t0 = time.perf_counter()
-            fn()
+            list(pool.map(np.asarray, [a1, a2]))
             best = min(best, time.perf_counter() - t0)
-        print(f"  {tag}: {nbytes/1e6:.1f} MB in {best*1e3:.0f} ms = {nbytes/1e6/best:.1f} MB/s", flush=True)
+    print(f"  D2H HR 2 threads: {nbytes/1e6:.1f} MB in {best*1e3:.0f} ms = {nbytes/1e6/best:.1f} MB/s",
+          flush=True)
 
     cls = get_model_class(args.model)
     try:
