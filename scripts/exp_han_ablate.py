@@ -49,6 +49,27 @@ def main() -> None:
     orig_lam = hn.LAM.__call__
     orig_csam = hn.CSAM.__call__
     orig_rg = hn.ResidualGroup.__call__
+    orig_han = hn.HANModule.__call__
+
+    def han_no_stack(self, x, train=False):
+        # Trunk as a pure RCAN-style chain: no 11-map stack is ever formed,
+        # so nothing keeps the intermediate RG outputs live. Isolates
+        # "stack liveness" from "trunk compute" at batch > 1 (timing-only:
+        # LAM/fusion replaced by one conv on the final map).
+        from studiosr_tpu.models.blocks import Upsampler, conv, mean_shift
+        import jax.numpy as jnp
+
+        x = mean_shift(x, self.img_range, sign=-1)
+        x = conv(self.n_feats, 3, name="head.0")(x)
+        res = x
+        for g in range(self.n_resgroups):
+            res = hn.ResidualGroup(self.n_feats, 3, self.reduction, self.n_resblocks, name=f"body.{g}")(res)
+        res = conv(self.n_feats, 3, name=f"body.{self.n_resgroups}")(res)
+        out = jnp.concatenate([res, res], axis=-1)
+        res = conv(self.n_feats, 3, name="last")(out) + x
+        x = Upsampler(self.scale, self.n_feats, name="tail.0")(res)
+        x = conv(self.n_colors, 3, name="tail.1")(x)
+        return mean_shift(x, self.img_range, sign=1)
 
     def lam_no_energy(self, stack):
         # keep the remix einsum's traffic, drop the energy einsum + softmax
@@ -94,12 +115,15 @@ def main() -> None:
             out[(hn.CSAM, "__call__")] = csam_barrier_in
         if "trunk" in ab:
             out[(hn.ResidualGroup, "__call__")] = lambda self, x: x
+        if "no_stack" in ab:
+            out[(hn.HANModule, "__call__")] = han_no_stack
         return out
 
     originals = {
         (hn.LAM, "__call__"): orig_lam,
         (hn.CSAM, "__call__"): orig_csam,
         (hn.ResidualGroup, "__call__"): orig_rg,
+        (hn.HANModule, "__call__"): orig_han,
     }
 
     variants = [
@@ -111,6 +135,7 @@ def main() -> None:
         ("CSAM stencil, input barrier", frozenset({"csam_barrier_in"})),
         ("no trunk groups", frozenset({"trunk"})),
         ("no LAM + no CSAM", frozenset({"lam", "csam"})),
+        ("no stack (pure RCAN-style chain)", frozenset({"no_stack"})),
     ]
     if args.only:
         variants = [v for v in variants if any(tok in v[0] for tok in args.only)]
