@@ -49,27 +49,30 @@ def main() -> None:
     orig_lam = hn.LAM.__call__
     orig_csam = hn.CSAM.__call__
     orig_rg = hn.ResidualGroup.__call__
-    orig_han = hn.HANModule.__call__
+    import flax.linen as nn
 
-    def han_no_stack(self, x, train=False):
-        # Trunk as a pure RCAN-style chain: no 11-map stack is ever formed,
-        # so nothing keeps the intermediate RG outputs live. Isolates
-        # "stack liveness" from "trunk compute" at batch > 1 (timing-only:
-        # LAM/fusion replaced by one conv on the final map).
-        from studiosr_tpu.models.blocks import Upsampler, conv, mean_shift
-        import jax.numpy as jnp
+    from studiosr_tpu.models.blocks import Upsampler, conv, mean_shift
 
-        x = mean_shift(x, self.img_range, sign=-1)
-        x = conv(self.n_feats, 3, name="head.0")(x)
-        res = x
-        for g in range(self.n_resgroups):
-            res = hn.ResidualGroup(self.n_feats, 3, self.reduction, self.n_resblocks, name=f"body.{g}")(res)
-        res = conv(self.n_feats, 3, name=f"body.{self.n_resgroups}")(res)
-        out = jnp.concatenate([res, res], axis=-1)
-        res = conv(self.n_feats, 3, name="last")(out) + x
-        x = Upsampler(self.scale, self.n_feats, name="tail.0")(res)
-        x = conv(self.n_colors, 3, name="tail.1")(x)
-        return mean_shift(x, self.img_range, sign=1)
+    class _HanNoStack(hn.HANModule):
+        """Trunk as a pure RCAN-style chain: no 11-map stack is ever formed,
+        so nothing keeps the intermediate RG outputs live. Isolates "stack
+        liveness" from "trunk compute" at batch > 1 (timing-only: LAM/fusion
+        replaced by one conv on the final map; param tree is a subset, so
+        the HAN variables apply)."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = mean_shift(x, self.img_range, sign=-1)
+            x = conv(self.n_feats, 3, name="head.0")(x)
+            res = x
+            for g in range(self.n_resgroups):
+                res = hn.ResidualGroup(self.n_feats, 3, self.reduction, self.n_resblocks, name=f"body.{g}")(res)
+            res = conv(self.n_feats, 3, name=f"body.{self.n_resgroups}")(res)
+            out = jnp.concatenate([res, res], axis=-1)
+            res = conv(self.n_feats, 3, name="last")(out) + x
+            x = Upsampler(self.scale, self.n_feats, name="tail.0")(res)
+            x = conv(self.n_colors, 3, name="tail.1")(x)
+            return mean_shift(x, self.img_range, sign=1)
 
     def lam_no_energy(self, stack):
         # keep the remix einsum's traffic, drop the energy einsum + softmax
@@ -115,16 +118,19 @@ def main() -> None:
             out[(hn.CSAM, "__call__")] = csam_barrier_in
         if "trunk" in ab:
             out[(hn.ResidualGroup, "__call__")] = lambda self, x: x
-        if "no_stack" in ab:
-            out[(hn.HANModule, "__call__")] = han_no_stack
         return out
 
     originals = {
         (hn.LAM, "__call__"): orig_lam,
         (hn.CSAM, "__call__"): orig_csam,
         (hn.ResidualGroup, "__call__"): orig_rg,
-        (hn.HANModule, "__call__"): orig_han,
     }
+    fields = {
+        k: getattr(model.module, k)
+        for k in type(model.module).__dataclass_fields__
+        if k not in ("parent", "name")
+    }
+    no_stack_module = _HanNoStack(**fields)
 
     variants = [
         ("full", frozenset()),
@@ -144,11 +150,12 @@ def main() -> None:
         pt = patches(ab)
         for key, fn in pt.items():
             setattr(key[0], key[1], fn)
+        fwd = (lambda v, xx: no_stack_module.apply(v, xx)) if "no_stack" in ab else model._forward
         try:
 
             def chained(v, inp):
                 def body(carry, _):
-                    out = model._forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6))
+                    out = fwd(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6))
                     return out.astype(jnp.float32).mean(), None
 
                 s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(reps))

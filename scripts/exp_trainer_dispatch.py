@@ -30,6 +30,7 @@ def main() -> None:
     p.add_argument("--crop", type=int, default=64)
     p.add_argument("--fetch-every", type=int, default=8, help="iterations per loss fetch (log cadence)")
     p.add_argument("--cycles", type=int, default=5, help="timed fetch cycles (plus one warmup)")
+    p.add_argument("--uint8", action="store_true", help="upload uint8 batches (device-side normalize; 4x less H2D)")
     args = p.parse_args()
 
     import jax
@@ -59,9 +60,16 @@ def main() -> None:
         module, tx, l1_loss, bfloat16=True, mesh=mesh, chain=k if k > 1 else 0, chain_batches=k > 1
     )
 
+    # Host-side batches, like a real input pipeline: each dispatch pays the
+    # genuine H2D upload. (Never build the stack from device arrays —
+    # np.asarray on a fresh device array fetches it back at relay-D2H speed.)
     rng = np.random.default_rng(0)
-    lq = jnp.asarray(rng.random((args.batch, args.crop, args.crop, 3), np.float32))
-    gt = jnp.asarray(rng.random((args.batch, args.crop * 4, args.crop * 4, 3), np.float32))
+    if args.uint8:
+        lq = rng.integers(0, 256, (args.batch, args.crop, args.crop, 3), dtype=np.uint8)
+        gt = rng.integers(0, 256, (args.batch, args.crop * 4, args.crop * 4, 3), dtype=np.uint8)
+    else:
+        lq = rng.random((args.batch, args.crop, args.crop, 3), np.float32)
+        gt = rng.random((args.batch, args.crop * 4, args.crop * 4, 3), np.float32)
     key = jax.random.PRNGKey(0)
     it = 0
 
@@ -70,14 +78,14 @@ def main() -> None:
         loss = None
         for _ in range(args.fetch_every // k):
             if k > 1:
-                lqs = jnp.broadcast_to(lq, (k,) + lq.shape)
-                gts = jnp.broadcast_to(gt, (k,) + gt.shape)
+                lqs = np.broadcast_to(lq, (k,) + lq.shape)
+                gts = np.broadcast_to(gt, (k,) + gt.shape)
                 rngs = jnp.stack([jax.random.fold_in(key, it + i) for i in range(k)])
-                b = shard_batch((np.asarray(lqs), np.asarray(gts)), mesh, axis=1)
+                b = shard_batch((np.ascontiguousarray(lqs), np.ascontiguousarray(gts)), mesh, axis=1)
                 state, losses = step_fn(state, b[0], b[1], rngs)
                 loss = losses[-1]
             else:
-                b = shard_batch((np.asarray(lq), np.asarray(gt)), mesh)
+                b = shard_batch((lq, gt), mesh)
                 state, loss = step_fn(state, b[0], b[1], jax.random.fold_in(key, it))
             it += k
         return float(loss)  # barrier: the cycle is done only when its last loss is real
@@ -91,7 +99,8 @@ def main() -> None:
         final = run_cycle()
     dt = (time.perf_counter() - t0) / (args.cycles * args.fetch_every)
     print(
-        f"{args.model} k={k} {'fused' if args.fused else 'plain'} (fetch/{args.fetch_every}): "
+        f"{args.model} k={k} {'fused' if args.fused else 'plain'}{' uint8' if args.uint8 else ''} "
+        f"(fetch/{args.fetch_every}): "
         f"{dt:.3f} s/step = {args.batch / dt:.1f} img/s  (loss {final:.4f})",
         flush=True,
     )

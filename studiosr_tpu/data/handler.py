@@ -54,9 +54,14 @@ class PrefetchLoader:
         rank: int = 0,
         world_size: int = 1,
         prefetch: int = 4,
+        normalize: bool = True,
     ) -> None:
         assert batch_size >= 1
         self.dataset = dataset
+        # normalize=False keeps uint8 samples uint8: the jitted train step
+        # divides by 255 on device (same f32 math to ~1 ulp), so the host
+        # boundary carries 4x fewer bytes per batch (parallel/train_step.py).
+        self.normalize = normalize
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.shuffle = shuffle
@@ -91,13 +96,22 @@ class PrefetchLoader:
             return arr.astype(np.float32) / 255.0
         return arr.astype(np.float32)
 
+    @staticmethod
+    def _raw(sample) -> np.ndarray:
+        # normalize=False: uint8 stays uint8 (device-side /255 in the train
+        # step); anything else still lands as float32 (never float64 — jax
+        # would silently truncate it anyway).
+        arr = np.asarray(sample)
+        return arr if arr.dtype == np.uint8 else arr.astype(np.float32)
+
     def _make_batch(self, epoch: int, batch_idx: int, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         lqs, gts = [], []
+        conv = self._to_float if self.normalize else self._raw
         for j, idx in enumerate(indices):
             rng = random.Random(f"{self.seed}:{epoch}:{self.rank}:{batch_idx}:{j}")
             lq, gt = self._load_sample(idx, rng)
-            lqs.append(self._to_float(lq))
-            gts.append(self._to_float(gt))
+            lqs.append(conv(lq))
+            gts.append(conv(gt))
         return np.stack(lqs), np.stack(gts)
 
     def batches(self, start_iteration: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -190,6 +204,7 @@ class DataHandler:
         num_workers: int = 4,
         shuffle: bool = True,
         seed: int = 0,
+        normalize: bool = True,
     ) -> None:
         import jax
 
@@ -208,6 +223,7 @@ class DataHandler:
             seed=seed,
             rank=self.rank,
             world_size=self.world_size,
+            normalize=normalize,
         )
         self.data_iterator = DataIterator(self.loader)
 

@@ -177,7 +177,12 @@ class Trainer:
     def run(self) -> None:
         print(f"device: {jax.default_backend()} x{len(jax.devices())}  bf16: {self.bfloat16}")
 
-        self.data_handler = DataHandler(self.dataset, self.batch_size, self.num_workers, seed=self.seed)
+        # normalize=False: uint8 samples stay uint8 across the host boundary
+        # (4x fewer H2D bytes per batch); the jitted step divides by 255 on
+        # device (same f32 math to ~1 ulp). Float samples pass through.
+        self.data_handler = DataHandler(
+            self.dataset, self.batch_size, self.num_workers, seed=self.seed, normalize=False
+        )
         self.data_handler.set_seed(self.seed)
 
         self.state = prepare_state(self.model.variables, self.tx, self.mesh, ema_decay=self.ema_decay)
@@ -253,7 +258,7 @@ class Trainer:
 
                 if single_fn is None:
                     single_fn = build_step(0)  # tail: max_iters % k != 0
-                # PrefetchLoader normalizes uint8 samples to [0,1] float32.
+                # uint8 batches normalize inside the jitted step.
                 lq, gt = self.data_handler.get_batch()
                 batch = shard_batch((lq, gt), self.mesh)
                 iterations = self.data_handler.iterations

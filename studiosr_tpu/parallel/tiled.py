@@ -102,7 +102,13 @@ def tiled_inference(
         batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
     if device_loop is None:
-        device_loop = n <= 512
+        import jax
+
+        # Default on when unrolled reassembly stays cheap to compile; stay
+        # on the host loop under multi-host (its shard_batch path assembles
+        # global arrays from per-process shards — the one-jit path would
+        # need replicated full-image I/O on every process).
+        device_loop = n <= 512 and jax.process_count() == 1
     if device_loop:
         return _device_tiled(model, padded, coords, tile, tile_overlap, batch, h, w, mesh=mesh)
 

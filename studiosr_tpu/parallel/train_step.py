@@ -112,6 +112,13 @@ def make_train_step(
 
     def loss_and_updates(params, batch_stats, lq, gt, rng):
         compute_params = params
+        # uint8 batches normalize on device (the loader's host-side
+        # astype(float32)/255 math to float rounding — XLA folds /255 into a
+        # reciprocal multiply) — the host boundary carries 4x fewer bytes.
+        if lq.dtype == jnp.uint8:
+            lq = lq.astype(jnp.float32) / 255.0
+        if gt.dtype == jnp.uint8:
+            gt = gt.astype(jnp.float32) / 255.0
         x = lq
         if bfloat16:
             compute_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)

@@ -23,6 +23,38 @@ def test_entry_compiles_tiny():
     assert out.shape == (1, 256, 256, 3)
 
 
+def test_uint8_batches_match_prenormalized():
+    """uint8 batches normalize inside the jitted step — the update must
+    equal the pre-normalized float path to float rounding (XLA folds the
+    /255 into a multiply by the reciprocal: ~1 ulp, not bitwise)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models import EDSR
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    tx = optax.sgd(1e-2)
+    mesh = get_mesh(jax.devices()[:1])
+    rng = np.random.default_rng(9)
+    lq8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    gt8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(3)
+    step = make_train_step(model.module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+
+    s_u8, loss_u8 = step(
+        prepare_state(model.variables, tx, mesh), *shard_batch((jnp.asarray(lq8), jnp.asarray(gt8)), mesh), key
+    )
+    f = lambda a: jnp.asarray(a.astype(np.float32) / 255.0)
+    s_f, loss_f = step(prepare_state(model.variables, tx, mesh), *shard_batch((f(lq8), f(gt8)), mesh), key)
+
+    np.testing.assert_allclose(float(loss_u8), float(loss_f), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_u8.params), jax.tree_util.tree_leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_chained_train_step_matches_sequential():
     """chain=2 (one jit, lax.scan over steps — the dispatch-free bench mode)
     must produce the same state/loss as two sequential step calls with the
