@@ -30,6 +30,11 @@ import numpy as np
 
 __all__ = ["tiled_inference", "tile_grid"]
 
+# Concurrent D2H streams for the device-loop frame fetch (measured on the
+# relay: 12.5 MB/s single-stream, 28.8 with two — transfers parallelize
+# even though they serialize against dispatches). Harmless on fast hosts.
+_FETCH_STREAMS = 4
+
 
 def tile_grid(size: int, tile: int, stride: int) -> np.ndarray:
     """Start offsets covering [0, size) with final tile snapped to the edge."""
@@ -226,7 +231,18 @@ def _device_tiled(
                 bottom = out_tile if y + tile >= ph else out_tile - ts
                 right = out_tile if x0 + tile >= pw else out_tile - ts
                 out = out.at[oy + top : oy + bottom, ox + left : ox + right].set(srs[j, top:bottom, left:right])
-            return out
+            # Emit the frame as row-band chunks: the host fetches them on
+            # concurrent streams (measured 12.5 -> 28.8 MB/s with 2 on the
+            # relay, where single-stream D2H dominates large-frame serving).
+            streams = max(1, min(_FETCH_STREAMS, ph * scale))
+            splits = [(i * (ph * scale)) // streams for i in range(1, streams)]
+            return tuple(jnp.split(out, splits, axis=0))
         model._tiled_fwd_cache = (key, jax.jit(run))
-    out = np.asarray(model._tiled_fwd_cache[1](model.variables, padded))
+
+    chunks = model._tiled_fwd_cache[1](model.variables, padded)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(chunks)) as pool:
+        parts = list(pool.map(np.asarray, chunks))
+    out = np.concatenate(parts, axis=0)
     return out[: h * scale, : w * scale]
