@@ -24,6 +24,7 @@ context beyond the overlap, which ``tile_overlap`` controls.
 from __future__ import annotations
 
 import math
+import os
 from collections import deque
 
 import numpy as np
@@ -31,9 +32,11 @@ import numpy as np
 __all__ = ["tiled_inference", "tile_grid"]
 
 # Concurrent D2H streams for the device-loop frame fetch (measured on the
-# relay: 12.5 MB/s single-stream, 28.8 with two — transfers parallelize
-# even though they serialize against dispatches). Harmless on fast hosts.
-_FETCH_STREAMS = 4
+# relay: 12.5 MB/s single-stream, 28.8 with two, ~49 effective with four —
+# transfers parallelize even though they serialize against dispatches; 8
+# streams measured WORSE, 2608 vs 1893 ms/frame at 720p, so 4 is the knee).
+# Harmless on fast hosts (PCIe moves the frame in one chunk regardless).
+_FETCH_STREAMS = int(os.environ.get("STUDIOSR_FETCH_STREAMS", "4"))
 
 
 def tile_grid(size: int, tile: int, stride: int) -> np.ndarray:
