@@ -204,7 +204,7 @@ def _device_tiled(
     n = len(coords)
     n_b = -(-n // batch)
     out_tile = tile * scale
-    key = (model._jit_forward, ph, pw, c, tile, tile_overlap, batch, mesh)
+    key = (model._jit_forward, ph, pw, c, tile, tile_overlap, batch, mesh, _FETCH_STREAMS)
     cache = getattr(model, "_tiled_fwd_cache", None)
     if cache is None or cache[0] != key:
         coords_t = tuple((int(y), int(x)) for y, x in coords)

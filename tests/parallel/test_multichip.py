@@ -162,6 +162,27 @@ def test_tiled_device_loop_matches_host_loop():
     np.testing.assert_array_equal(whole, dev)
 
 
+def test_tiled_device_loop_fetch_stream_counts():
+    """The chunked-fetch frame split must be invariant to the stream count,
+    including the degenerate single-chunk case and more streams than output
+    rows (clamped). Each count builds a distinct jit program."""
+    import studiosr_tpu.parallel.tiled as tiled_mod
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = ESPCN.build(scale=2)
+    image = np.random.default_rng(5).integers(0, 256, (40, 58, 3), dtype=np.uint8)
+    whole = model.inference(image)
+    orig = tiled_mod._FETCH_STREAMS
+    try:
+        for streams in (1, 3, 1000):
+            tiled_mod._FETCH_STREAMS = streams  # part of the program cache key
+            dev = tiled_inference(model, image, tile=24, tile_overlap=6, tile_batch=4, device_loop=True)
+            np.testing.assert_array_equal(whole, dev)
+    finally:
+        tiled_mod._FETCH_STREAMS = orig
+
+
 def test_tiled_inference_short_wide_image():
     """Tile larger than one image dimension: edge-pad fallback path."""
     from studiosr_tpu.models import ESPCN
