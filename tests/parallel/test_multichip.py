@@ -130,6 +130,42 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(a, b, atol=1e-5)  # cross-shard reduction order
 
 
+def test_multislice_mesh_matches_single_device():
+    """A 2-D ("dcn", "data") multi-slice mesh (2 virtual slices x 4 devices)
+    must produce the same update as single-device execution — batch sharded
+    over BOTH axes, gradient reduction lowered hierarchically by XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    import optax
+
+    from studiosr_tpu.models import EDSR
+    from studiosr_tpu.parallel import build_optimizer, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.parallel.mesh import get_mesh, get_multislice_mesh
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    tx = optax.sgd(1e-2)  # see test_dp_matches_single_device
+
+    rng = np.random.default_rng(1)
+    lq = rng.random((8, 8, 8, 3), dtype=np.float32)
+    gt = rng.random((8, 16, 16, 3), dtype=np.float32)
+    key = jax.random.PRNGKey(0)
+
+    results = []
+    for mesh in (get_mesh(jax.devices()[:1]), get_multislice_mesh(2, jax.devices()[:8])):
+        state = prepare_state(model.variables, tx, mesh)
+        step = make_train_step(model.module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False)
+        batch = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), mesh)
+        new_state, loss = step(state, batch[0], batch[1], key)
+        results.append((float(loss), jax.device_get(new_state.params)))
+
+    (loss1, params1), (loss2, params2) = results
+    assert abs(loss1 - loss2) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_tiled_inference_matches_whole_image_conv():
     """For a pure local-conv model with enough overlap, tiled inference must
     equal whole-image inference except at tile borders; with halo >= receptive
