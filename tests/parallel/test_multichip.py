@@ -248,6 +248,21 @@ def test_tiled_inference_sharded_over_mesh():
     np.testing.assert_array_equal(whole, dev)
 
 
+def test_tiled_inference_sharded_over_multislice_mesh():
+    """Tiled inference with tile batches sharded over a 2-D ("dcn", "data")
+    mesh — the data_sharding all-axes default's serving-side consumer."""
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.parallel.mesh import get_multislice_mesh
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = ESPCN.build(scale=2)
+    mesh = get_multislice_mesh(2)
+    image = np.random.default_rng(4).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    whole = model.inference(image)
+    dev = tiled_inference(model, image, tile=32, tile_overlap=8, tile_batch=8, mesh=mesh, device_loop=True)
+    np.testing.assert_array_equal(whole, dev)
+
+
 def test_tiled_inference_sharded_fused_swinir():
     """The fused Pallas serving path must run under mesh-sharded tiled
     inference (pallas_call inside the sharded jit on every device) — the
