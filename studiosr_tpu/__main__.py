@@ -11,9 +11,24 @@ import argparse
 import os
 
 
+def _walk_image_paths(root: str, skip_dir: str) -> list:
+    """Sorted full paths of images under ``root``, excluding ``skip_dir``."""
+    from studiosr_tpu.utils.helpers import get_image_extensions
+
+    exts = set(get_image_extensions())
+    skip = os.path.abspath(skip_dir)
+    paths = []
+    for r, _dirs, files in os.walk(root):
+        ar = os.path.abspath(r)
+        if ar == skip or ar.startswith(skip + os.sep):
+            continue
+        paths.extend(os.path.join(r, f) for f in files if os.path.splitext(f)[1].lower() in exts)
+    return sorted(paths)
+
+
 def main() -> None:
     from studiosr_tpu.models import EDSR, HAN, HAT, RCAN, VDSR, SwinIR
-    from studiosr_tpu.utils import get_image_files, imread, imwrite
+    from studiosr_tpu.utils import imread, imwrite
 
     models = dict(
         vdsr=VDSR,
@@ -40,8 +55,12 @@ def main() -> None:
     args = parser.parse_args()
 
     path = args.image
-    paths = [path] if os.path.isfile(path) else [os.path.join(path, f) for f in get_image_files(path)]
-    images = {os.path.basename(p): imread(p) for p in paths}
+    # Full-path recursive walk, skipping anything under the output directory.
+    # Deliberate divergence from the reference CLI (``__main__.py:30-33`` +
+    # ``helpers.py:99-106``), whose basename walk breaks on nested inputs and
+    # crashes on a second run with the default nested ``--output``.
+    paths = [path] if os.path.isfile(path) else _walk_image_paths(path, skip_dir=args.output)
+    images = {p: imread(p) for p in paths}
     model = models[args.model].from_pretrained(scale=args.scale)
     if args.half:
         model.half()
@@ -50,8 +69,8 @@ def main() -> None:
 
     os.makedirs(args.output, exist_ok=True)
 
-    def save(file_name, out):
-        name = os.path.splitext(file_name)[0]
+    def save(file_path, out):
+        name = os.path.splitext(os.path.basename(file_path))[0]
         save_path = os.path.join(args.output, f"{name}.{args.model}_x{args.scale}.png")
         imwrite(save_path, out)
         print(" -> ", save_path)

@@ -56,6 +56,18 @@ def test_cli_directory_and_self_ensemble(tmp_path, monkeypatch, tiny_pretrained)
     assert sorted(os.listdir(out)) == ["img0.swinir_x2.png", "img1.swinir_x2.png"]
 
 
+def test_cli_rerun_with_nested_output_skips_own_outputs(tmp_path, monkeypatch, tiny_pretrained):
+    """Re-running with the (default-style) output dir nested inside the input
+    dir must skip the previous run's outputs instead of crashing on them —
+    the reference CLI's basename walk breaks here (``helpers.py:99-106``)."""
+    _write_images(tmp_path, n=2)
+    out = tmp_path / "studiosr"
+    argv = ["--image", str(tmp_path), "--scale", "2", "--model", "swinir", "--output", str(out)]
+    _run_cli(monkeypatch, argv)
+    _run_cli(monkeypatch, argv)  # second run: outputs exist under the input dir
+    assert sorted(os.listdir(out)) == ["img0.swinir_x2.png", "img1.swinir_x2.png"]
+
+
 def test_cli_tiled_matches_whole(tmp_path, monkeypatch, tiny_pretrained):
     _write_images(tmp_path, n=1, size=24)
     out_whole, out_tiled = tmp_path / "w", tmp_path / "t"
@@ -75,12 +87,17 @@ def test_cli_batched_matches_single(tmp_path, monkeypatch, tiny_pretrained):
     """--batch N groups same-shaped images into stacked dispatches; outputs
     must be pixel-identical to the per-image path (inference_batch ==
     inference: the same jitted uint8 program, batch on the grid)."""
-    _write_images(tmp_path, n=3)
+    # Inputs in their own directory: outputs of one run nested under the
+    # input dir ARE inputs to the next run (only the run's own --output is
+    # excluded from the walk).
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_images(src, n=3)
     out1 = tmp_path / "out1"
     out2 = tmp_path / "out2"
-    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+    _run_cli(monkeypatch, ["--image", str(src), "--scale", "2", "--model", "swinir",
                            "--output", str(out1)])
-    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+    _run_cli(monkeypatch, ["--image", str(src), "--scale", "2", "--model", "swinir",
                            "--output", str(out2), "--batch", "2"])
     assert sorted(os.listdir(out1)) == sorted(os.listdir(out2))
     for name in os.listdir(out1):
