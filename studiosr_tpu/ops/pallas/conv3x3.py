@@ -118,7 +118,7 @@ def _conv3_stacked(x, w3_ref, b, oh, ow, dx0, cpad):
     return acc + b.astype(jnp.float32)
 
 
-def _conv_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, *, activation, residual):
+def _conv_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, *, activation, residual, extra_ref=None):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -130,6 +130,12 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, *, activati
     y = _act(_conv3_stacked(xp, w_ref, b_ref[0], t, w_img, 0, cp), activation)
     if residual:
         y = y + cur_ref[0].astype(jnp.float32)
+    if extra_ref is not None:
+        # Residual join folded into the conv pass: serving's `conv(x) + skip`
+        # otherwise lowers to a standalone map-scale XLA add (one full
+        # read+read+write pass — scripts/exp_hlo_audit.py found six of them
+        # around the RSTB convs).
+        y = y + extra_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -190,6 +196,7 @@ def fused_conv3x3(
     b: jnp.ndarray,  # (Cout,)
     activation: Optional[str] = None,
     residual: bool = False,
+    extra=None,  # optional (B, H, W, Cout) residual join added in-kernel
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -205,18 +212,30 @@ def fused_conv3x3(
     cp = ((cin + 127) // 128) * 128
     ws3 = _stack_weights(w, cp).astype(x.dtype)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_conv_kernel, activation=activation, residual=residual)
+    in_specs = _band_specs(bsz, hgt, wdt, cin, t, 1) + [full(3, 3 * cp, cout), full(1, cout)]
+    operands = [x, x, x, ws3, b.reshape(1, -1).astype(jnp.float32)]
+    if extra is not None:
+        engagement.engaged("conv3x3_join_fold")
+        in_specs.append(pl.BlockSpec((1, t, wdt, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(extra)
+
+        def kernel(p_ref, c_ref, n_ref, w_ref, b_ref, e_ref, o_ref):
+            _conv_kernel(p_ref, c_ref, n_ref, w_ref, b_ref, o_ref,
+                         activation=activation, residual=residual, extra_ref=e_ref)
+
+    else:
+        kernel = functools.partial(_conv_kernel, activation=activation, residual=residual)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_band_specs(bsz, hgt, wdt, cin, t, 1) + [full(3, 3 * cp, cout), full(1, cout)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, t, wdt, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hgt, wdt, cout), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"), vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(x, x, x, ws3, b.reshape(1, -1).astype(jnp.float32))
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret"))

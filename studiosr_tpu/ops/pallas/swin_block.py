@@ -36,6 +36,7 @@ __all__ = [
     "fused_mlp_block",
     "fused_swin_block",
     "shift_fold_supported",
+    "prepare_mask",
 ]
 
 # Tunables for the per-program working set (see fused_window_attention_block).
@@ -130,6 +131,52 @@ def _select_chunk(nw_row: int, heads: int, n: int):
         if nw_row % cand == 0 and cand <= max_chunk:
             chunk = cand
     return chunk, False
+
+
+def prepare_mask(mask_np, x_shape, heads: int, window_size: int, dtype):
+    """Choose the mask operand layout matching the kernels' chunk selection
+    for this shape. Returns ``(mask_jnp, mask_mode)`` to pass to
+    :func:`fused_swin_block` / :func:`fused_window_attention_block`.
+
+    ``mask_np`` must be the CONCRETE numpy mask (a trace-time constant —
+    ops/windows.py:calculate_mask); the compression equality checks run in
+    numpy, so a compressed layout is bit-identical by construction. The mask
+    is cast to the map dtype (0/-100 are exact in bf16; the kernels upcast
+    to f32 before adding to scores). Dense masks at HAT scale are a major
+    hidden stream: 75.7 MB f32 per shifted block (scripts/exp_hlo_audit.py).
+    """
+    if mask_np is None:
+        return None, "dense"
+    mask_np = np.asarray(mask_np)
+    b, hgt, w, c = x_shape
+    ws = window_size
+    n = ws * ws
+    if hgt % ws == 0 and w % ws == 0:
+        nw_row = w // ws
+        chunk, _ = _select_chunk(nw_row, heads, n)
+        if chunk:
+            from studiosr_tpu.ops.windows import compress_mask
+
+            mode, comp = compress_mask(mask_np, hgt // ws, nw_row, chunk)
+            if mode is not None:
+                return jnp.asarray(comp, dtype), mode
+    return jnp.asarray(mask_np, dtype), "dense"
+
+
+def _mask_index_map(mask_mode: str, chunk: int, n_rows: int, n_chunks: int):
+    """Mask BlockSpec index map for a (bi, i, j) grid. Compressed modes map
+    repeated content to a fixed block index so Mosaic's pipeline skips the
+    re-fetch whenever consecutive grid steps address the same block."""
+    if mask_mode == "rows2":
+        # (2*chunk, N, N): interior-row block 0, last-row block 1.
+        assert chunk > 0 and n_chunks == 1 and n_rows >= 2, (chunk, n_chunks, n_rows)
+        return lambda bi, i, j: (i // (n_rows - 1), 0, 0)
+    if mask_mode == "cls4":
+        # (4*chunk, N, N): [interior, right, bottom, corner] row-parts.
+        assert chunk > 0 and n_rows >= 2 and n_chunks >= 2, (chunk, n_rows, n_chunks)
+        return lambda bi, i, j: (2 * (i // (n_rows - 1)) + j // (n_chunks - 1), 0, 0)
+    assert mask_mode == "dense", mask_mode
+    return lambda bi, i, j: (i * n_chunks + j, 0, 0)
 
 
 def shift_fold_supported(x_shape, heads: int, window_size: int) -> bool:
@@ -470,7 +517,7 @@ def _v5_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, 
     return x.astype(jnp.float32) + proj.reshape(ws, w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "mask_mode", "interpret"))
 def fused_window_attention_block(
     x: jnp.ndarray,  # (1, H, W, C), already cyclically shifted if needed
     ln_scale: jnp.ndarray,
@@ -480,10 +527,11 @@ def fused_window_attention_block(
     wproj: jnp.ndarray,
     bproj: jnp.ndarray,
     bias: jnp.ndarray,  # (heads, N, N)
-    mask: Optional[jnp.ndarray],  # (nW, N, N) or None
+    mask: Optional[jnp.ndarray],  # (nW, N, N) or compressed (see prepare_mask)
     heads: int,
     window_size: int,
     drop_path=None,  # optional (B,) per-sample keep-scales (already /keep)
+    mask_mode: str = "dense",
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -559,8 +607,15 @@ def fused_window_attention_block(
         # Shift mask is shared across the batch (same static image size).
         # With spp > 1 the row is one chunk, so a program's masks are the
         # contiguous spp*chunk windows starting at stripe i*spp.
+        assert spp == 1 or mask_mode == "dense"
+        if mask_mode != "dense":
+            engagement.engaged(f"mask_{mask_mode}")
         in_specs.append(
-            pl.BlockSpec((spp * chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (spp * chunk, n, n),
+                _mask_index_map(mask_mode, chunk, hgt // (spp * ws), n_chunks),
+                memory_space=pltpu.VMEM,
+            )
         )
         operands.append(mask)
     if drop_path is not None:
@@ -586,7 +641,7 @@ def fused_window_attention_block(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window_size", "read_shift", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "read_shift", "mask_mode", "interpret"))
 def fused_swin_block(
     x: jnp.ndarray,  # (B, H, W, C), already cyclically shifted if needed
     ln1_scale, ln1_bias,
@@ -601,6 +656,7 @@ def fused_swin_block(
     extra_scale=None,  # optional (B, C) per-sample channel scale for extra
     drop_path=None,  # optional (B, 2) per-sample keep-scales (already /keep)
     read_shift: int = 0,  # ±ws//2: fold the cyclic shift into the reads
+    mask_mode: str = "dense",  # mask operand layout (see prepare_mask)
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
@@ -723,8 +779,14 @@ def fused_swin_block(
         operands = [x] + weight_operands
     n_chunks = nw_row // chunk
     if mask is not None:
+        if mask_mode != "dense":
+            engagement.engaged(f"mask_{mask_mode}")
         in_specs.append(
-            pl.BlockSpec((chunk, n, n), lambda bi, i, j: (i * n_chunks + j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (chunk, n, n),
+                _mask_index_map(mask_mode, chunk, hgt // ws, n_chunks),
+                memory_space=pltpu.VMEM,
+            )
         )
         operands.append(mask)
     if extra is not None:

@@ -20,6 +20,7 @@ __all__ = [
     "window_partition",
     "window_reverse",
     "calculate_mask",
+    "compress_mask",
     "relative_position_index",
     "relative_position_index_oca",
     "pad_to_multiple_reflect",
@@ -70,6 +71,53 @@ def calculate_mask(x_size: tuple, window_size: int, shift_size: int) -> np.ndarr
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
     return attn_mask
+
+
+def compress_mask(mask: np.ndarray, nw_rows: int, nw_cols: int, chunk: int):
+    """Compress a dense (nW, N, N) shift mask for block re-use in the fused
+    attention kernels. Returns ``(mode, compressed)``.
+
+    The dense mask is hugely redundant — with a cyclic shift, every window
+    not in the last window-row/column carries the identical (all-zero) mask,
+    yet the kernels stream the full operand once per shifted block: 17.8 MB
+    f32 for SwinIR at a 264² map, 75.7 MB for HAT at 272² (HLO audit,
+    scripts/exp_hlo_audit.py). Re-mapping repeated blocks to one index lets
+    Mosaic skip the re-fetch between consecutive grid steps (its pipeline
+    only issues a copy when an operand's block window changes).
+
+    * ``("rows2", (2*chunk, N, N))`` — when ``chunk == nw_cols`` (whole-row
+      blocks) and all interior window-rows are identical: block 0 = interior
+      row, block 1 = last row. Kernel index map: ``i // (nw_rows - 1)``.
+    * ``("cls4", (4*chunk, N, N))`` — when a row splits into >= 2
+      chunk-window parts and part content depends only on its edge class:
+      [interior, right, bottom, corner] parts.
+      Kernel index map: ``2 * (i // (nw_rows-1)) + (j // (n_parts-1))``.
+    * ``(None, None)`` — no compression applies (fall back to dense).
+
+    The equality checks are exact (numpy, trace-time constants), so a
+    compressed layout is bit-identical to the dense one by construction.
+    """
+    n = mask.shape[-1]
+    if mask.shape[0] != nw_rows * nw_cols or chunk <= 0 or nw_cols % chunk:
+        return None, None
+    m = mask.reshape(nw_rows, nw_cols, n, n)
+    if chunk == nw_cols and nw_rows >= 2:
+        if all(np.array_equal(m[r], m[0]) for r in range(1, nw_rows - 1)):
+            return "rows2", np.concatenate([m[0], m[-1]], axis=0)
+    n_parts = nw_cols // chunk
+    if n_parts >= 2 and nw_rows >= 2:
+        reps = [m[0, :chunk], m[0, -chunk:], m[-1, :chunk], m[-1, -chunk:]]
+        ok = all(
+            np.array_equal(
+                m[r, p * chunk : (p + 1) * chunk],
+                reps[2 * (r == nw_rows - 1) + (p == n_parts - 1)],
+            )
+            for r in range(nw_rows)
+            for p in range(n_parts)
+        )
+        if ok:
+            return "cls4", np.concatenate(reps, axis=0)
+    return None, None
 
 
 @lru_cache(maxsize=64)

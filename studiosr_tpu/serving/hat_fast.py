@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from studiosr_tpu.models.blocks import DEFAULT_RGB_MEAN
 from studiosr_tpu.ops.attention import attention_core
-from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block
+from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_attention_block, prepare_mask
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
 from studiosr_tpu.ops.windows import (
     calculate_mask,
@@ -129,13 +129,19 @@ def hat_fast_forward(
     c = x.shape[-1]
 
     feats = _layernorm(x, params["patch_embed.norm"])
-    mask = jnp.asarray(calculate_mask((hgt, wdt), ws, ws // 2))
+    mask_np = calculate_mask((hgt, wdt), ws, ws // 2)
+    mask = jnp.asarray(mask_np)  # dense f32 — the XLA fallback path's layout
     rpi = relative_position_index(ws)
 
     for li, depth in enumerate(depths):
         layer = params[f"layers.{li}"]
         res = feats
         heads = num_heads[li]
+        # Compressed kernel-side mask: the dense f32 mask at HAT's 272² map
+        # is (289, 256, 256) = 75.7 MB streamed per shifted block with
+        # chunk-1 programs (scripts/exp_hlo_audit.py); the cls4 layout
+        # re-uses one fetched block across interior windows.
+        mask_k, mask_mode = prepare_mask(mask_np, res.shape, heads, ws, res.dtype)
         for bi in range(depth):
             blk = layer[f"residual_group.blocks.{bi}"]
             shift = 0 if bi % 2 == 0 else ws // 2
@@ -184,12 +190,12 @@ def hat_fast_forward(
                 blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
                 blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
-                bias, mask if shift else None,
+                bias, mask_k if shift else None,
                 blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
                 blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
                 heads=heads, window_size=ws, extra=extra, extra_scale=escale,
-                interpret=interpret,
+                mask_mode=mask_mode, interpret=interpret,
             )
             if whole is not None:
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
@@ -204,9 +210,10 @@ def hat_fast_forward(
                     blk["attn"]["proj"]["kernel"].astype(y.dtype),
                     blk["attn"]["proj"]["bias"],
                     bias,
-                    mask if shift else None,
+                    mask_k if shift else None,
                     heads=heads,
                     window_size=ws,
+                    mask_mode=mask_mode,
                     interpret=interpret,
                 )
                 if fused is None:
@@ -256,7 +263,7 @@ def hat_fast_forward(
 
         if "ocab" in _ablate:
             if "conv" not in _ablate:
-                res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
+                res = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
                 feats = res
             else:
                 feats = res
@@ -284,13 +291,13 @@ def hat_fast_forward(
         )
         res = fused_oca if fused_oca is not None else _ocab(res, oa, heads, ws, overlap_ratio)
         if "conv" not in _ablate:
-            res = _residual_conv(res, layer["conv"], interpret=interpret) + feats
+            res = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
         feats = res
 
     if "tail" in _ablate:
         return feats
     feats = _layernorm(feats, params["norm"])
-    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret) + shallow
+    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret, extra=shallow)
     x = _conv(x, params["conv_before_upsample.0"])
     x = jax.nn.leaky_relu(x, 0.01)
     up = params["upsample"]

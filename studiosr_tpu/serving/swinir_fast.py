@@ -23,6 +23,7 @@ from studiosr_tpu.ops.pallas.swin_block import (
     fused_mlp_block,
     fused_swin_block,
     fused_window_attention_block,
+    prepare_mask,
     shift_fold_supported,
 )
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
@@ -56,15 +57,17 @@ def _layernorm(x, p):
     return out.astype(x.dtype)
 
 
-def _residual_conv(x, p, interpret=False):
+def _residual_conv(x, p, interpret=False, extra=None):
     """RSTB residual connection: plain conv or SwinFIR's SFB
-    (spatial branch || rfft spectral branch -> 1x1 fuse)."""
+    (spatial branch || rfft spectral branch -> 1x1 fuse). ``extra`` is the
+    skip map of the surrounding `conv(x) + skip` join, folded into the conv
+    kernel's pass (a standalone XLA add is a full map read+read+write)."""
     from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
 
     if "kernel" in p:
         # Streaming Pallas conv: one HBM pass (XLA's measured ~2.4x the
         # stream bound in context, STATUS.md round-2 dissection).
-        return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], interpret=interpret)
+        return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], extra=extra, interpret=interpret)
     # SFB (models/swinfir.py): keys S / F / fusion.
     if SFB_STREAM_S:
         # The S-branch 3x3 convs are the identical situation to the RSTB
@@ -102,7 +105,8 @@ def _residual_conv(x, p, interpret=False):
         fu = jnp.fft.irfftn(jax.lax.complex(re32, im32), s=(h, w), axes=(1, 2), norm="ortho").astype(x.dtype)
     f = _conv(fu + f, p["F"]["conv_after_fft"])
 
-    return _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])
+    out = _conv(jnp.concatenate([s, f], axis=-1), p["fusion"])
+    return out if extra is None else out + extra
 
 
 def _xla_attention_block(y, blk, bias, mask, heads, ws):
@@ -159,13 +163,18 @@ def swinir_fast_forward(
     c = x.shape[-1]
 
     feats = _layernorm(x, params["patch_embed.norm"])
-    mask = jnp.asarray(calculate_mask((hgt, wdt), ws, ws // 2))
+    mask_np = calculate_mask((hgt, wdt), ws, ws // 2)
+    mask = jnp.asarray(mask_np)  # dense f32 — the XLA fallback path's layout
     rpi = relative_position_index(ws)
 
     for li, depth in enumerate(depths):
         layer = params[f"layers.{li}"]
         res = feats
         heads = num_heads[li]
+        # Kernel-side mask: compressed layout (repeated blocks re-use one
+        # fetch) in the map dtype — the dense f32 mask is 17.8 MB streamed
+        # per shifted block at a 264² map (scripts/exp_hlo_audit.py).
+        mask_k, mask_mode = prepare_mask(mask_np, res.shape, heads, ws, res.dtype)
         sh = ws // 2
         # Shift folding: shifted blocks read the map at a (+sh,+sh) offset
         # inside the kernel (rows via half-stripe blocks, columns via an
@@ -203,11 +212,12 @@ def swinir_fast_forward(
                     blk["norm1"]["scale"], blk["norm1"]["bias"],
                     blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
                     blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
-                    bias, mask if shift else None,
+                    bias, mask_k if shift else None,
                     blk["norm2"]["scale"], blk["norm2"]["bias"],
                     blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
                     blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                    heads=heads, window_size=ws, read_shift=read_shift, interpret=interpret,
+                    heads=heads, window_size=ws, read_shift=read_shift,
+                    mask_mode=mask_mode, interpret=interpret,
                 )
                 if whole is not None:
                     if fold_ok:
@@ -238,9 +248,10 @@ def swinir_fast_forward(
                         blk["attn"]["proj"]["kernel"].astype(y.dtype),
                         blk["attn"]["proj"]["bias"],
                         bias,
-                        mask if shift else None,
+                        mask_k if shift else None,
                         heads=heads,
                         window_size=ws,
+                        mask_mode=mask_mode,
                         interpret=interpret,
                     )
                 y = fused if fused is not None else _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
@@ -273,13 +284,14 @@ def swinir_fast_forward(
             # once (was one roll pair per shifted block).
             res = jnp.roll(res, (sh, sh), axis=(1, 2))
         if "conv" not in _ablate:
-            res = _residual_conv(res, layer["conv"], interpret=interpret)
-        feats = res + feats
+            feats = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
+        else:
+            feats = res + feats
 
     if "tail" in _ablate:
         return feats
     feats = _layernorm(feats, params["norm"])
-    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret) + shallow
+    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret, extra=shallow)
 
     if upsampler == "pixelshuffle":
         x = _conv(x, params["conv_before_upsample.0"])

@@ -38,6 +38,23 @@ def test_fused_conv3x3_matches_xla(activation, residual):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_fused_conv3x3_extra_join_matches_xla():
+    """extra= folds the surrounding `conv(x) + skip` join into the kernel."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 24, 20, 16)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 24, 20, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+
+    want = _xla_conv(x, w, b) + skip
+    got = fused_conv3x3(x, w, b, extra=skip, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
 def test_fused_resblock_matches_xla():
     import jax.numpy as jnp
 

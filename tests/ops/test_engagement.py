@@ -52,7 +52,7 @@ def test_swinir_fused_engaged_at_bench_shape():
     )
     _assert_engaged(
         counts,
-        ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4"],
+        ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4", "mask_rows2"],
     )
     # The whole-block kernel subsumes the split kernels: the split attention
     # kernel engaging would mean the whole-block kernel fell back somewhere.
@@ -80,6 +80,7 @@ def test_hat_fused_engaged_at_bench_shape():
             "fused_ocab_block",
             "fused_conv3x3",
             "fused_upsample_x4",
+            "mask_cls4",
         ],
     )
 
