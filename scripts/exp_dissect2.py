@@ -104,8 +104,6 @@ def main() -> None:
             heads=heads, window_size=ws,
         )
 
-    assert block_op(jax.eval_shape(lambda: x)) is not None or True  # engagement via real call below
-
     cases = []
     reps_iters = 200
     total = timed(scan_chain(block_op, 1), x, reps=reps_iters)

@@ -167,8 +167,22 @@ class Model(metaclass=_ModelMeta):
         self._jit_forward = jax.jit(self._forward)
         return self
 
+    def serving_prep(self):
+        """Pre-laid kernel weights for the fused serving path, or None.
+
+        Models whose fused path supports load-time weight pre-layout
+        (models/swinir.py) override this with an eager, cached builder —
+        the per-forward weight-layout passes (head padding, conv tap
+        stacking, tail quadrant assembly) then drop out of the compiled
+        hot path entirely (they are NOT loop-hoisted by XLA; STATUS.md
+        session 7)."""
+        return None
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Jitted eval forward on an NHWC float batch."""
+        prep = self.serving_prep()
+        if prep is not None:
+            return self._jit_forward(self.variables, x, prep=prep)
         return self._jit_forward(self.variables, x)
 
     def _forward_sharded(self, variables, x):

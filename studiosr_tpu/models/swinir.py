@@ -331,7 +331,24 @@ class SwinIR(Model):
         self._jit_forward = jax.jit(self._forward)
         return self
 
-    def _forward(self, variables, x, tail_batched_map: bool = True):
+    def serving_prep(self):
+        """Eager, cached kernel-layout weights for the fused serving path
+        (serving/swinir_fast.py prepare_serving). Keyed on the variables
+        object identity and compute dtype; half()/enable_fused invalidate
+        via the identity of ``_jit_forward`` they rebuild."""
+        if not getattr(self, "_fused", False):
+            return None
+        dtype = getattr(self, "_compute_dtype", None) or jnp.float32
+        cache = getattr(self, "_serving_prep_cache", None)
+        if cache is not None and cache[0] is self.variables and cache[1] == dtype:
+            return cache[2]
+        from studiosr_tpu.serving import prepare_serving
+
+        prep = prepare_serving(self.variables, self.config, dtype)
+        self._serving_prep_cache = (self.variables, dtype, prep)
+        return prep
+
+    def _forward(self, variables, x, tail_batched_map: bool = True, prep=None):
         if getattr(self, "_fused", False):
             from studiosr_tpu.serving import swinir_fast_forward
 
@@ -339,7 +356,7 @@ class SwinIR(Model):
             if dtype is not None:
                 x = x.astype(dtype)
             interpret = jax.default_backend() == "cpu"
-            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map)
+            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map, prep=prep)
             precision = getattr(self, "_matmul_precision", None)
             if precision and dtype is None:  # f32 quality mode through the fused path
                 with jax.default_matmul_precision(precision):

@@ -86,6 +86,15 @@ def _conv9(x, w_ref, b, oh, ow, dx0=0):
     return acc + b.astype(jnp.float32)
 
 
+def prepare_conv3x3_weights(w, dtype):
+    """Pre-lay a (3, 3, Cin, Cout) conv weight into fused_conv3x3's stacked
+    operand layout (pass with ``prepped=True``). Same math as the in-trace
+    prep; pre-laying removes the per-forward pad/transpose passes."""
+    cin = w.shape[2]
+    cp = ((cin + 127) // 128) * 128
+    return _stack_weights(w, cp).astype(dtype)
+
+
 def _stack_weights(w, cpad: int):
     """(3, 3, C, Cout) -> (3, 3*cpad, Cout): per-dx weights with the three dy
     taps stacked along a lane-padded K axis (see _conv3_stacked)."""
@@ -189,14 +198,15 @@ def _row_band(hgt: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "residual", "interpret"))
+@functools.partial(jax.jit, static_argnames=("activation", "residual", "prepped", "interpret"))
 def fused_conv3x3(
     x: jnp.ndarray,  # (B, H, W, Cin)
-    w: jnp.ndarray,  # (3, 3, Cin, Cout)
+    w: jnp.ndarray,  # (3, 3, Cin, Cout), or stacked (3, 3*cp, Cout) if prepped
     b: jnp.ndarray,  # (Cout,)
     activation: Optional[str] = None,
     residual: bool = False,
     extra=None,  # optional (B, H, W, Cout) residual join added in-kernel
+    prepped: bool = False,  # w already in prepare_conv3x3_weights layout
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -210,7 +220,11 @@ def fused_conv3x3(
     t = _row_band(hgt)
     grid = (bsz, hgt // t)
     cp = ((cin + 127) // 128) * 128
-    ws3 = _stack_weights(w, cp).astype(x.dtype)
+    if prepped:
+        ws3 = w
+        assert ws3.shape == (3, 3 * cp, cout), (ws3.shape, cp)
+    else:
+        ws3 = _stack_weights(w, cp).astype(x.dtype)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = _band_specs(bsz, hgt, wdt, cin, t, 1) + [full(3, 3 * cp, cout), full(1, cout)]
     operands = [x, x, x, ws3, b.reshape(1, -1).astype(jnp.float32)]

@@ -133,6 +133,34 @@ def _select_chunk(nw_row: int, heads: int, n: int):
     return chunk, False
 
 
+def prepare_attention_weights(wqkv, bqkv, wproj, bias, heads: int, window_size: int, dtype):
+    """Pre-lay the attention weights into the kernels' operand layout.
+
+    The head padding / q-scale folding / pair bias embedding otherwise
+    re-execute inside every traced forward — per the scan-body HLO audit
+    they are NOT hoisted out of benchmark scan loops, and in per-image
+    serving they run per call. Returns the dict consumed by
+    ``fused_swin_block`` / ``fused_window_attention_block`` with
+    ``prepped=True``; built by the SAME helper functions the wrappers use,
+    so the math is identical.
+    """
+    c = wqkv.shape[0]
+    n = window_size * window_size
+    d = c // heads
+    dp = ((d + 31) // 32) * 32
+    use_pairs = 2 * n <= 128  # _select_pair_chunk always fits a chunk when this holds
+    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(
+        wqkv.astype(dtype), bqkv, wproj.astype(dtype), heads, d, dp
+    )
+    bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
+    return {
+        "wqkv": wqkv_pad,
+        "bqkv": bqkv_pad.reshape(1, -1),
+        "wproj": wproj_pad,
+        "bias2": bias2,
+    }
+
+
 def prepare_mask(mask_np, x_shape, heads: int, window_size: int, dtype):
     """Choose the mask operand layout matching the kernels' chunk selection
     for this shape. Returns ``(mask_jnp, mask_mode)`` to pass to
@@ -517,7 +545,7 @@ def _v5_attn_stripe(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, 
     return x.astype(jnp.float32) + proj.reshape(ws, w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window_size", "mask_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "mask_mode", "spp", "prepped", "interpret"))
 def fused_window_attention_block(
     x: jnp.ndarray,  # (1, H, W, C), already cyclically shifted if needed
     ln_scale: jnp.ndarray,
@@ -532,6 +560,8 @@ def fused_window_attention_block(
     window_size: int,
     drop_path=None,  # optional (B,) per-sample keep-scales (already /keep)
     mask_mode: str = "dense",
+    spp: int = 1,  # stripes (window-rows) per program — perf experiments only
+    prepped: bool = False,  # attn weights/bias already in kernel layout
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -565,16 +595,22 @@ def fused_window_attention_block(
     d = c // heads
     dp = ((d + 31) // 32) * 32
     s = heads * dp
-    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
+    if prepped:
+        wqkv_pad, bqkv_pad, wproj_pad = wqkv, bqkv, wproj
+        assert wqkv_pad.shape == (c, 3 * s), wqkv_pad.shape
+        assert bias.shape[1] == (2 * n if use_pairs else n), (bias.shape, use_pairs)
+    else:
+        wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
 
     # Stripes-per-program: folding several stripe rows into one program was
-    # measured MUCH slower (training step 1.86 vs 0.84 s at spp=8) — Mosaic
-    # pipelines DMA against compute ACROSS grid steps, so fewer/bigger
-    # programs lose the overlap. Keep 1; the mechanism stays for experiments.
-    spp = 1
+    # measured MUCH slower at TRAINING shapes (1.86 vs 0.84 s/step at spp=8
+    # — Mosaic pipelines DMA against compute ACROSS grid steps); the serving
+    # regime is re-measurable via the spp argument (scripts/exp_spp.py).
+    if spp != 1 and ((hgt // ws) % spp or not use_pairs or drop_path is not None):
+        spp = 1
 
     base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel
-    if use_pairs:
+    if use_pairs and not prepped:
         bias = _pair_embed_bias(bias, n)
     extra_kw = {"spp": spp} if use_pairs else {}
 
@@ -641,7 +677,7 @@ def fused_window_attention_block(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window_size", "read_shift", "mask_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "read_shift", "mask_mode", "prepped", "interpret"))
 def fused_swin_block(
     x: jnp.ndarray,  # (B, H, W, C), already cyclically shifted if needed
     ln1_scale, ln1_bias,
@@ -657,6 +693,7 @@ def fused_swin_block(
     drop_path=None,  # optional (B, 2) per-sample keep-scales (already /keep)
     read_shift: int = 0,  # ±ws//2: fold the cyclic shift into the reads
     mask_mode: str = "dense",  # mask operand layout (see prepare_mask)
+    prepped: bool = False,  # attn weights/bias already in kernel layout
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Whole Swin block — y = z + mlp(LN2(z)), z = x + attn(LN1(x)) — in one
@@ -713,8 +750,14 @@ def fused_swin_block(
     dp = ((d + 31) // 32) * 32
     s = heads * dp
     hidden = w1.shape[1]
-    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
-    bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
+    if prepped:
+        # Weights already in kernel layout (prepare_attention_weights).
+        wqkv_pad, bqkv_pad, wproj_pad, bias2 = wqkv, bqkv, wproj, bias
+        assert wqkv_pad.shape == (c, 3 * s) and bias2.shape[0] == heads, (wqkv_pad.shape, bias2.shape)
+        assert bias2.shape[1] == (2 * n if use_pairs else n), (bias2.shape, use_pairs)
+    else:
+        wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
+        bias2 = _pair_embed_bias(bias, n) if use_pairs else bias
 
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
     weight_specs = [

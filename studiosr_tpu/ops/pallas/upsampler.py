@@ -206,46 +206,19 @@ def _pick_tile(h: int, w: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "batched_map"))
-def fused_upsample_x4(
-    x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
-    w0, b0,  # (3,3,cin,4*cin) conv before first shuffle
-    w1, b1,  # (3,3,cin,4*cin) conv before second shuffle
-    w2, b2,  # (3,3,cin,n_colors) conv_last
-    interpret: bool = False,
-    batched_map: bool = True,
-):
-    """x4 pixelshuffle tail in one pass. Returns (1, 4H, 4W, n_colors), or
-    ``None`` when the shape doesn't fit the fused layout (caller falls back
-    to the XLA tail)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from studiosr_tpu.ops.pallas import engagement
-
-    n, h, w, cin = x.shape
+def prepare_upsample_x4_weights(w0, b0, w1, b1, w2, b2, dtype):
+    """Pre-lay the x4 tail's quadrant-planar stage weights (the dict
+    ``fused_upsample_x4`` takes via ``prep=``). The in-trace assembly is a
+    chain of ~180 scatter-updates over 2-4 MB buffers that re-executes
+    every forward (scan-body HLO audit) — built once at load time instead."""
+    cin = w0.shape[2]
     n_colors = w2.shape[-1]
-    tile = _pick_tile(h, w)
-    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == 4 * cin and w1.shape[-1] == 4 * cin:
-        # The kernel is single-image (its manual-DMA prefetch ring orders a
-        # 2-D tile grid); batch via lax.map — the grid was sequential anyway,
-        # so a per-image scan loses no parallelism (tiled serving tile_batch)
-        # SINGLE-CHIP. Callers with a device-sharded batch (mesh-sharded
-        # tiled inference) pass batched_map=False: the sequential map would
-        # serialize the batch across chips, where the XLA tail runs
-        # batch-parallel.
-        return jax.lax.map(lambda one: fused_upsample_x4(one[None], w0, b0, w1, b1, w2, b2, interpret=interpret)[0], x)
-    if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
-        why = []
-        if n != 1 and not batched_map:
-            why.append("batched_map disabled (device-sharded batch)")
-        if tile == 0:
-            why.append(f"no valid tile for {h}x{w}")
-        if w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
-            why.append(f"ladder widths {w0.shape[-1]}/{w1.shape[-1]} != {4 * cin}")
-        return engagement.fallback("fused_upsample_x4", "; ".join(why))
-    engagement.engaged("fused_upsample_x4")
+    return _build_x4_stage_weights(
+        w0.astype(dtype), b0, w1.astype(dtype), b1, w2.astype(dtype), b2, cin, n_colors
+    )
 
+
+def _build_x4_stage_weights(w0, b0, w1, b1, w2, b2, cin, n_colors):
     perm = _quadrant_perm(cin)
     cpad = max(cin, 128)
     c4 = 4 * cin
@@ -294,6 +267,57 @@ def fused_upsample_x4(
                         (r * 4 + s) * n_colors : (r * 4 + s + 1) * n_colors,
                     ].add(w2[dy, dx].astype(jnp.float32))
     b3 = jnp.tile(b2.reshape(1, -1).astype(jnp.float32), (1, 16))
+    return {"w0s": w0s, "b0p": b0p, "w1g": w1g, "b1q": b1q, "w3g": w3g, "b3": b3}
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "batched_map"))
+def fused_upsample_x4(
+    x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
+    w0, b0,  # (3,3,cin,4*cin) conv before first shuffle
+    w1, b1,  # (3,3,cin,4*cin) conv before second shuffle
+    w2, b2,  # (3,3,cin,n_colors) conv_last
+    interpret: bool = False,
+    batched_map: bool = True,
+    prep=None,  # optional prepare_upsample_x4_weights dict
+):
+    """x4 pixelshuffle tail in one pass. Returns (1, 4H, 4W, n_colors), or
+    ``None`` when the shape doesn't fit the fused layout (caller falls back
+    to the XLA tail)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    n, h, w, cin = x.shape
+    n_colors = w2.shape[-1]
+    tile = _pick_tile(h, w)
+    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == 4 * cin and w1.shape[-1] == 4 * cin:
+        # The kernel is single-image (its manual-DMA prefetch ring orders a
+        # 2-D tile grid); batch via lax.map — the grid was sequential anyway,
+        # so a per-image scan loses no parallelism (tiled serving tile_batch)
+        # SINGLE-CHIP. Callers with a device-sharded batch (mesh-sharded
+        # tiled inference) pass batched_map=False: the sequential map would
+        # serialize the batch across chips, where the XLA tail runs
+        # batch-parallel.
+        return jax.lax.map(
+            lambda one: fused_upsample_x4(one[None], w0, b0, w1, b1, w2, b2, interpret=interpret, prep=prep)[0], x
+        )
+    if n != 1 or tile == 0 or w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
+        why = []
+        if n != 1 and not batched_map:
+            why.append("batched_map disabled (device-sharded batch)")
+        if tile == 0:
+            why.append(f"no valid tile for {h}x{w}")
+        if w0.shape[-1] != 4 * cin or w1.shape[-1] != 4 * cin:
+            why.append(f"ladder widths {w0.shape[-1]}/{w1.shape[-1]} != {4 * cin}")
+        return engagement.fallback("fused_upsample_x4", "; ".join(why))
+    engagement.engaged("fused_upsample_x4")
+
+    cpad = max(cin, 128)
+    c4 = 4 * cin
+    if prep is None:
+        prep = _build_x4_stage_weights(w0, b0, w1, b1, w2, b2, cin, n_colors)
+    w0s, b0p, w1g, b1q, w3g, b3 = (prep[k] for k in ("w0s", "b0p", "w1g", "b1q", "w3g", "b3"))
 
     xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, cpad - cin)))
     grid = (h // tile, w // tile)
@@ -422,40 +446,15 @@ def _tail_kernel_s(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("s", "interpret", "batched_map"))
-def fused_upsample_s(
-    x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
-    w0, b0,  # (3,3,cin,s^2*cin) conv before the shuffle
-    w2, b2,  # (3,3,cin,n_colors) conv_last
-    s: int = 2,
-    interpret: bool = False,
-    batched_map: bool = True,
-):
-    """Single-shuffle tail (x2/x3 classical) in one pass. Returns
-    (1, sH, sW, n_colors) or ``None`` on layout mismatch."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from studiosr_tpu.ops.pallas import engagement
-
-    n, h, w, cin = x.shape
+def prepare_upsample_s_weights(w0, b0, w2, b2, s, dtype):
+    """Pre-lay the single-shuffle tail's stage weights (``prep=`` of
+    :func:`fused_upsample_s`); see prepare_upsample_x4_weights."""
+    cin = w0.shape[2]
     n_colors = w2.shape[-1]
-    tile = _pick_tile(h, w)
-    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == s * s * cin:
-        # Batch via lax.map; see fused_upsample_x4 (sequential grid anyway —
-        # single-chip only; sharded-batch callers pass batched_map=False).
-        return jax.lax.map(lambda one: fused_upsample_s(one[None], w0, b0, w2, b2, s=s, interpret=interpret)[0], x)
-    if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
-        why = []
-        if n != 1 and not batched_map:
-            why.append("batched_map disabled (device-sharded batch)")
-        if tile == 0:
-            why.append(f"no valid tile for {h}x{w}")
-        if w0.shape[-1] != s * s * cin:
-            why.append(f"ladder width {w0.shape[-1]} != {s * s * cin}")
-        return engagement.fallback("fused_upsample_s", "; ".join(why))
-    engagement.engaged("fused_upsample_s")
+    return _build_s_stage_weights(w0.astype(dtype), b0, w2.astype(dtype), b2, s, cin, n_colors)
 
+
+def _build_s_stage_weights(w0, b0, w2, b2, s, cin, n_colors):
     perm = _perm_s(cin, s)
     cpad = max(cin, 128)
     cs = s * s * cin
@@ -481,6 +480,53 @@ def fused_upsample_s(
                         (r * s + s_) * n_colors : (r * s + s_ + 1) * n_colors,
                     ].add(w2[dy, dx].astype(jnp.float32))
     bg = jnp.tile(b2.reshape(1, -1).astype(jnp.float32), (1, s * s))
+    return {"w0s": w0s, "b0p": b0p, "wg": wg, "bg": bg}
+
+
+@functools.partial(jax.jit, static_argnames=("s", "interpret", "batched_map"))
+def fused_upsample_s(
+    x: jnp.ndarray,  # (1, H, W, cin) — output of conv_before_upsample + lrelu
+    w0, b0,  # (3,3,cin,s^2*cin) conv before the shuffle
+    w2, b2,  # (3,3,cin,n_colors) conv_last
+    s: int = 2,
+    interpret: bool = False,
+    batched_map: bool = True,
+    prep=None,  # optional prepare_upsample_s_weights dict
+):
+    """Single-shuffle tail (x2/x3 classical) in one pass. Returns
+    (1, sH, sW, n_colors) or ``None`` on layout mismatch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    n, h, w, cin = x.shape
+    n_colors = w2.shape[-1]
+    tile = _pick_tile(h, w)
+    if n != 1 and batched_map and tile != 0 and w0.shape[-1] == s * s * cin:
+        # Batch via lax.map; see fused_upsample_x4 (sequential grid anyway —
+        # single-chip only; sharded-batch callers pass batched_map=False).
+        return jax.lax.map(
+            lambda one: fused_upsample_s(one[None], w0, b0, w2, b2, s=s, interpret=interpret, prep=prep)[0], x
+        )
+    if n != 1 or tile == 0 or w0.shape[-1] != s * s * cin:
+        why = []
+        if n != 1 and not batched_map:
+            why.append("batched_map disabled (device-sharded batch)")
+        if tile == 0:
+            why.append(f"no valid tile for {h}x{w}")
+        if w0.shape[-1] != s * s * cin:
+            why.append(f"ladder width {w0.shape[-1]} != {s * s * cin}")
+        return engagement.fallback("fused_upsample_s", "; ".join(why))
+    engagement.engaged("fused_upsample_s")
+
+    cpad = max(cin, 128)
+    cs = s * s * cin
+    ax = _ax_s(s)
+    na = len(ax)
+    if prep is None:
+        prep = _build_s_stage_weights(w0, b0, w2, b2, s, cin, n_colors)
+    w0s, b0p, wg, bg = (prep[k] for k in ("w0s", "b0p", "wg", "bg"))
 
     xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, cpad - cin)))
     grid = (h // tile, w // tile)

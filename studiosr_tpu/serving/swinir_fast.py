@@ -29,7 +29,78 @@ from studiosr_tpu.ops.pallas.swin_block import (
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
 from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relative_position_index
 
-__all__ = ["swinir_fast_forward"]
+__all__ = ["swinir_fast_forward", "prepare_serving"]
+
+
+def prepare_serving(variables: Dict[str, Any], config: Dict[str, Any], dtype) -> Dict[str, Any]:
+    """Pre-lay every serving weight into its kernel operand layout.
+
+    The per-forward weight prep (head padding, pair-bias embedding, conv tap
+    stacking, the tail's quadrant-weight scatter chain) is traced into every
+    compiled forward and is NOT hoisted out of scan loops (scan-body HLO
+    audit, STATUS.md session 7) — in per-image serving it re-executes per
+    call. Building it once at load time (eagerly, on device) removes it
+    from the hot path. Consumed by ``swinir_fast_forward(..., prep=...)``;
+    the same helper functions build both layouts, so outputs are identical.
+    """
+    from studiosr_tpu.ops.pallas.conv3x3 import prepare_conv3x3_weights
+    from studiosr_tpu.ops.pallas.swin_block import prepare_attention_weights
+    from studiosr_tpu.ops.pallas.upsampler import (
+        prepare_upsample_s_weights,
+        prepare_upsample_x4_weights,
+    )
+
+    params = variables["params"]
+    depths = list(config["depths"])
+    num_heads = list(config["num_heads"])
+    ws = int(config["window_size"])
+    scale = int(config["scale"])
+    upsampler = config.get("upsampler", "pixelshuffle")
+    rpi = relative_position_index(ws)
+
+    prep: Dict[str, Any] = {"blocks": {}, "convs": {}}
+    for li, depth in enumerate(depths):
+        layer = params[f"layers.{li}"]
+        heads = num_heads[li]
+        for bi in range(depth):
+            blk = layer[f"residual_group.blocks.{bi}"]
+            table = blk["attn"]["relative_position_bias_table"]
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            prep["blocks"][f"{li}.{bi}"] = prepare_attention_weights(
+                blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"], bias, heads, ws, dtype,
+            )
+        conv = layer["conv"]
+        if "kernel" in conv:
+            prep["convs"][str(li)] = prepare_conv3x3_weights(conv["kernel"], dtype)
+        else:  # SwinFIR SFB: the streaming S-branch convs
+            prep["convs"][str(li)] = {
+                "s0": prepare_conv3x3_weights(conv["S"]["body.0"]["kernel"], dtype),
+                "s2": prepare_conv3x3_weights(conv["S"]["body.2"]["kernel"], dtype),
+            }
+    cab = params["conv_after_body"]
+    if "kernel" in cab:
+        prep["convs"]["after_body"] = prepare_conv3x3_weights(cab["kernel"], dtype)
+    else:
+        prep["convs"]["after_body"] = {
+            "s0": prepare_conv3x3_weights(cab["S"]["body.0"]["kernel"], dtype),
+            "s2": prepare_conv3x3_weights(cab["S"]["body.2"]["kernel"], dtype),
+        }
+    if upsampler == "pixelshuffle" and "conv_last" in params:
+        up = params["upsample"]
+        if scale == 4:
+            prep["tail"] = prepare_upsample_x4_weights(
+                up["0"]["kernel"], up["0"]["bias"], up["2"]["kernel"], up["2"]["bias"],
+                params["conv_last"]["kernel"], params["conv_last"]["bias"], dtype,
+            )
+        elif scale in (2, 3):
+            prep["tail"] = prepare_upsample_s_weights(
+                up["0"]["kernel"], up["0"]["bias"],
+                params["conv_last"]["kernel"], params["conv_last"]["bias"], scale, dtype,
+            )
+    elif upsampler != "pixelshuffle":
+        prep["convs"]["up_direct"] = prepare_conv3x3_weights(params["upsample"]["0"]["kernel"], dtype)
+    return prep
 
 # A/B flag (scripts/exp_swinfir_ablate.py): SFB spatial-branch 3x3 convs via
 # the streaming Pallas kernel (True) or XLA convs (False).
@@ -57,16 +128,20 @@ def _layernorm(x, p):
     return out.astype(x.dtype)
 
 
-def _residual_conv(x, p, interpret=False, extra=None):
+def _residual_conv(x, p, interpret=False, extra=None, prep_w=None):
     """RSTB residual connection: plain conv or SwinFIR's SFB
     (spatial branch || rfft spectral branch -> 1x1 fuse). ``extra`` is the
     skip map of the surrounding `conv(x) + skip` join, folded into the conv
-    kernel's pass (a standalone XLA add is a full map read+read+write)."""
+    kernel's pass (a standalone XLA add is a full map read+read+write).
+    ``prep_w``: pre-laid conv weights (prepare_serving) — an array for the
+    plain conv, a {"s0", "s2"} dict for the SFB spatial branch."""
     from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
 
     if "kernel" in p:
         # Streaming Pallas conv: one HBM pass (XLA's measured ~2.4x the
         # stream bound in context, STATUS.md round-2 dissection).
+        if prep_w is not None:
+            return fused_conv3x3(x, prep_w, p["bias"], extra=extra, prepped=True, interpret=interpret)
         return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], extra=extra, interpret=interpret)
     # SFB (models/swinfir.py): keys S / F / fusion.
     if SFB_STREAM_S:
@@ -75,8 +150,12 @@ def _residual_conv(x, p, interpret=False, extra=None):
         # where the streaming kernel measured 1.64 vs 2.34 ms.
         s0 = p["S"]["body.0"]
         s2 = p["S"]["body.2"]
-        s = fused_conv3x3(x, s0["kernel"].astype(x.dtype), s0["bias"], activation="lrelu0.2", interpret=interpret)
-        s = fused_conv3x3(s, s2["kernel"].astype(x.dtype), s2["bias"], interpret=interpret) + x
+        if prep_w is not None:
+            s = fused_conv3x3(x, prep_w["s0"], s0["bias"], activation="lrelu0.2", prepped=True, interpret=interpret)
+            s = fused_conv3x3(s, prep_w["s2"], s2["bias"], prepped=True, interpret=interpret) + x
+        else:
+            s = fused_conv3x3(x, s0["kernel"].astype(x.dtype), s0["bias"], activation="lrelu0.2", interpret=interpret)
+            s = fused_conv3x3(s, s2["kernel"].astype(x.dtype), s2["bias"], interpret=interpret) + x
     else:
         s = _conv(x, p["S"]["body.0"])
         s = jax.nn.leaky_relu(s, 0.2)
@@ -136,11 +215,14 @@ def swinir_fast_forward(
     tail_batched_map: bool = True,
     use_fused_attn: bool = True,
     use_fused_mlp: bool = True,
+    prep: Dict[str, Any] = None,
     _ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
     """Eval-mode SwinIR forward (flip-concat padding) from raw variables.
 
-    ``_ablate`` is a perf-dissection hook (scripts/exp_model_ablate.py):
+    ``prep``: pre-laid kernel weights from :func:`prepare_serving` (skips
+    the per-forward weight-layout passes). ``_ablate`` is a perf-dissection
+    hook (scripts/exp_model_ablate.py):
     subsets of {"roll", "attn", "mlp", "conv", "tail"} skip that part of the
     computation (numerically wrong, timing only)."""
     params = variables["params"]
@@ -194,8 +276,16 @@ def swinir_fast_forward(
             blk = layer[f"residual_group.blocks.{bi}"]
             shift = 0 if bi % 2 == 0 else sh
 
-            table = blk["attn"]["relative_position_bias_table"]
-            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            bp = None if prep is None else prep["blocks"][f"{li}.{bi}"]
+            if bp is None:
+                table = blk["attn"]["relative_position_bias_table"]
+                bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            else:
+                bias = None  # raw bias only materialized if a kernel declines
+
+            def _raw_bias(blk=blk, heads=heads):
+                table = blk["attn"]["relative_position_bias_table"]
+                return table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
 
             y = res
             if "attn" in _ablate and "mlp" in _ablate:
@@ -207,18 +297,31 @@ def swinir_fast_forward(
                 read_shift = (desired - space) * sh if fold_ok else 0
                 if not fold_ok and shift and "roll" not in _ablate:
                     y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-                whole = fused_swin_block(
-                    y,
-                    blk["norm1"]["scale"], blk["norm1"]["bias"],
-                    blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
-                    blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
-                    bias, mask_k if shift else None,
-                    blk["norm2"]["scale"], blk["norm2"]["bias"],
-                    blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
-                    blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                    heads=heads, window_size=ws, read_shift=read_shift,
-                    mask_mode=mask_mode, interpret=interpret,
-                )
+                if bp is not None:
+                    whole = fused_swin_block(
+                        y,
+                        blk["norm1"]["scale"], blk["norm1"]["bias"],
+                        bp["wqkv"], bp["bqkv"], bp["wproj"], blk["attn"]["proj"]["bias"],
+                        bp["bias2"], mask_k if shift else None,
+                        blk["norm2"]["scale"], blk["norm2"]["bias"],
+                        blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
+                        blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
+                        heads=heads, window_size=ws, read_shift=read_shift,
+                        mask_mode=mask_mode, prepped=True, interpret=interpret,
+                    )
+                else:
+                    whole = fused_swin_block(
+                        y,
+                        blk["norm1"]["scale"], blk["norm1"]["bias"],
+                        blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
+                        blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
+                        bias, mask_k if shift else None,
+                        blk["norm2"]["scale"], blk["norm2"]["bias"],
+                        blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
+                        blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
+                        heads=heads, window_size=ws, read_shift=read_shift,
+                        mask_mode=mask_mode, interpret=interpret,
+                    )
                 if whole is not None:
                     if fold_ok:
                         space = desired
@@ -239,21 +342,41 @@ def swinir_fast_forward(
             else:
                 fused = None
                 if use_fused_attn:
-                    fused = fused_window_attention_block(
-                        y,
-                        blk["norm1"]["scale"],
-                        blk["norm1"]["bias"],
-                        blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                        blk["attn"]["qkv"]["bias"],
-                        blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                        blk["attn"]["proj"]["bias"],
-                        bias,
-                        mask_k if shift else None,
-                        heads=heads,
-                        window_size=ws,
-                        mask_mode=mask_mode,
-                        interpret=interpret,
-                    )
+                    if bp is not None:
+                        fused = fused_window_attention_block(
+                            y,
+                            blk["norm1"]["scale"],
+                            blk["norm1"]["bias"],
+                            bp["wqkv"],
+                            bp["bqkv"],
+                            bp["wproj"],
+                            blk["attn"]["proj"]["bias"],
+                            bp["bias2"],
+                            mask_k if shift else None,
+                            heads=heads,
+                            window_size=ws,
+                            mask_mode=mask_mode,
+                            prepped=True,
+                            interpret=interpret,
+                        )
+                    else:
+                        fused = fused_window_attention_block(
+                            y,
+                            blk["norm1"]["scale"],
+                            blk["norm1"]["bias"],
+                            blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                            blk["attn"]["qkv"]["bias"],
+                            blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                            blk["attn"]["proj"]["bias"],
+                            bias,
+                            mask_k if shift else None,
+                            heads=heads,
+                            window_size=ws,
+                            mask_mode=mask_mode,
+                            interpret=interpret,
+                        )
+                if fused is None and bias is None:
+                    bias = _raw_bias()
                 y = fused if fused is not None else _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
             if shift and "roll" not in _ablate:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -284,14 +407,18 @@ def swinir_fast_forward(
             # once (was one roll pair per shifted block).
             res = jnp.roll(res, (sh, sh), axis=(1, 2))
         if "conv" not in _ablate:
-            feats = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
+            cw = None if prep is None else prep["convs"].get(str(li))
+            feats = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats, prep_w=cw)
         else:
             feats = res + feats
 
     if "tail" in _ablate:
         return feats
     feats = _layernorm(feats, params["norm"])
-    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret, extra=shallow)
+    x = _residual_conv(
+        feats, params["conv_after_body"], interpret=interpret, extra=shallow,
+        prep_w=None if prep is None else prep["convs"].get("after_body"),
+    )
 
     if upsampler == "pixelshuffle":
         x = _conv(x, params["conv_before_upsample.0"])
@@ -306,6 +433,7 @@ def swinir_fast_forward(
                 up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
                 params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
                 interpret=interpret, batched_map=tail_batched_map,
+                prep=None if prep is None else prep.get("tail"),
             )
             if fused_tail is not None:
                 x = (fused_tail + mean) * img_range
@@ -318,6 +446,7 @@ def swinir_fast_forward(
                 up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
                 params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
                 s=scale, interpret=interpret, batched_map=tail_batched_map,
+                prep=None if prep is None else prep.get("tail"),
             )
             if fused_tail is not None:
                 x = (fused_tail + mean) * img_range
@@ -338,7 +467,11 @@ def swinir_fast_forward(
         from studiosr_tpu.ops.pallas.conv3x3 import fused_conv3x3
 
         up0 = params["upsample"]["0"]
-        x = fused_conv3x3(x, up0["kernel"].astype(x.dtype), up0["bias"], interpret=interpret)
+        uw = None if prep is None else prep["convs"].get("up_direct")
+        x = fused_conv3x3(
+            x, uw if uw is not None else up0["kernel"].astype(x.dtype), up0["bias"],
+            prepped=uw is not None, interpret=interpret,
+        )
         x = pixel_shuffle(x, scale)
 
     x = (x + mean) * img_range

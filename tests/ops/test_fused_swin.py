@@ -113,6 +113,27 @@ def test_fused_swinir_x4_tail_matches_linen():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
+def test_serving_prep_matches_in_trace_prep():
+    """Load-time pre-laid weights (prepare_serving) must give the exact
+    output of the in-trace weight layout (same helper functions build
+    both), and the prep must be cached per (variables, dtype)."""
+    import jax.numpy as jnp
+
+    model = SwinIR.build(scale=4, **SMALL)
+    model.enable_fused(True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+
+    want = np.asarray(model._jit_forward(model.variables, x))  # in-trace prep
+    prep = model.serving_prep()
+    assert prep is not None and prep["blocks"] and prep["convs"] and "tail" in prep
+    got = np.asarray(model._jit_forward(model.variables, x, prep=prep))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+    assert model.serving_prep() is prep  # cached
+    model.enable_fused(False)
+    assert model.serving_prep() is None
+
+
 @pytest.mark.parametrize("direction", [1, -1])
 def test_fused_swin_block_read_shift_equals_rolled(direction):
     """read_shift=±ws/2 must equal jnp.roll -> fused_swin_block(read_shift=0)
