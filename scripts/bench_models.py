@@ -55,10 +55,12 @@ def main() -> None:
                 np.random.default_rng(0).random((args.batch, h, w, 3)), jnp.bfloat16 if half else jnp.float32
             )
             variables = jax.device_put(model.variables)
+            prep = model.serving_prep()  # load-time weight pre-layout where supported
 
-            def chained(v, inp):
+            def chained(v, p, inp):
                 def body(c, _):
-                    out = model._forward(v, inp + c.astype(inp.dtype) * 1e-6)
+                    kw = {} if p is None else {"prep": p}
+                    out = model._forward(v, inp + c.astype(inp.dtype) * 1e-6, **kw)
                     return out.mean(), None
 
                 s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(args.reps))
@@ -66,12 +68,12 @@ def main() -> None:
 
             f = jax.jit(chained)
             t0 = time.perf_counter()
-            float(f(variables, x))
+            float(f(variables, prep, x))
             compile_s = time.perf_counter() - t0
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                float(f(variables, x))
+                float(f(variables, prep, x))
                 best = min(best, time.perf_counter() - t0)
             per_image = best / (args.reps * args.batch)
             print(

@@ -185,11 +185,13 @@ class Model(metaclass=_ModelMeta):
             return self._jit_forward(self.variables, x, prep=prep)
         return self._jit_forward(self.variables, x)
 
-    def _forward_sharded(self, variables, x):
+    def _forward_sharded(self, variables, x, prep=None):
         """Forward for a DEVICE-SHARDED batch (mesh-sharded tiled
         inference). Default: identical to :meth:`_forward`; models whose
         fused serving contains per-image sequential kernels (SwinIR/HAT
         tail ``lax.map``) override it to keep the batch parallel."""
+        if prep is not None:
+            return self._forward(variables, x, prep=prep)
         return self._forward(variables, x)
 
     def sharded_forward(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -199,9 +201,12 @@ class Model(metaclass=_ModelMeta):
         cache = getattr(self, "_sharded_fwd_cache", None)
         if cache is None or cache[0] is not self._jit_forward:
             self._sharded_fwd_cache = (self._jit_forward, jax.jit(self._forward_sharded))
+        prep = self.serving_prep()
+        if prep is not None:
+            return self._sharded_fwd_cache[1](self.variables, x, prep=prep)
         return self._sharded_fwd_cache[1](self.variables, x)
 
-    def _forward_uint8(self, variables, x: jnp.ndarray, sharded: bool) -> jnp.ndarray:
+    def _forward_uint8(self, variables, x: jnp.ndarray, sharded: bool, prep=None) -> jnp.ndarray:
         """uint8 NHWC batch -> upscaled uint8 NHWC batch, entirely on device.
 
         The normalize / scale / round / clip steps ride in the same XLA
@@ -211,7 +216,8 @@ class Model(metaclass=_ModelMeta):
         """
         in_range = 255.0 if self.img_range == 1.0 else 1.0
         fwd = self._forward_sharded if sharded else self._forward
-        y = fwd(variables, x.astype(jnp.float32) / in_range) * in_range
+        kw = {} if prep is None else {"prep": prep}
+        y = fwd(variables, x.astype(jnp.float32) / in_range, **kw) * in_range
         return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
 
     def forward_uint8(self, x: jnp.ndarray, sharded: bool = False) -> jax.Array:
@@ -223,10 +229,14 @@ class Model(metaclass=_ModelMeta):
         if cache is None or cache[0] is not self._jit_forward:
             self._uint8_fwd_cache = (
                 self._jit_forward,
-                jax.jit(lambda v, b: self._forward_uint8(v, b, sharded=False)),
-                jax.jit(lambda v, b: self._forward_uint8(v, b, sharded=True)),
+                jax.jit(lambda v, b, p=None: self._forward_uint8(v, b, sharded=False, prep=p)),
+                jax.jit(lambda v, b, p=None: self._forward_uint8(v, b, sharded=True, prep=p)),
             )
-        return self._uint8_fwd_cache[2 if sharded else 1](self.variables, x)
+        fn = self._uint8_fwd_cache[2 if sharded else 1]
+        prep = self.serving_prep()
+        if prep is not None:
+            return fn(self.variables, x, prep)
+        return fn(self.variables, x)
 
     def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
         """Train-mode apply (dropout active, batch stats updating)."""

@@ -370,7 +370,22 @@ class HAT(Model):
         self._jit_forward = jax.jit(self._forward)
         return self
 
-    def _forward(self, variables, x, tail_batched_map: bool = True):
+    def serving_prep(self):
+        """Eager, cached kernel-layout weights for the fused serving path
+        (serving/hat_fast.py prepare_hat_serving); see models/swinir.py."""
+        if not getattr(self, "_fused", False):
+            return None
+        dtype = getattr(self, "_compute_dtype", None) or jnp.float32
+        cache = getattr(self, "_serving_prep_cache", None)
+        if cache is not None and cache[0] is self.variables and cache[1] == dtype:
+            return cache[2]
+        from studiosr_tpu.serving.hat_fast import prepare_hat_serving
+
+        prep = prepare_hat_serving(self.variables, self.config, dtype)
+        self._serving_prep_cache = (self.variables, dtype, prep)
+        return prep
+
+    def _forward(self, variables, x, tail_batched_map: bool = True, prep=None):
         if getattr(self, "_fused", False):
             from studiosr_tpu.serving.hat_fast import hat_fast_forward
 
@@ -378,7 +393,7 @@ class HAT(Model):
             if dtype is not None:
                 x = x.astype(dtype)
             interpret = jax.default_backend() == "cpu"
-            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map)
+            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map, prep=prep)
             precision = getattr(self, "_matmul_precision", None)
             if precision and dtype is None:  # f32 quality mode through the fused path
                 with jax.default_matmul_precision(precision):
@@ -388,10 +403,10 @@ class HAT(Model):
             return out.astype(jnp.float32)
         return super()._forward(variables, x)
 
-    def _forward_sharded(self, variables, x):
+    def _forward_sharded(self, variables, x, prep=None):
         # See SwinIR._forward_sharded: no per-image tail lax.map under a
         # device-sharded batch.
-        return self._forward(variables, x, tail_batched_map=False)
+        return self._forward(variables, x, tail_batched_map=False, prep=prep)
 
     @classmethod
     def build(

@@ -366,11 +366,11 @@ class SwinIR(Model):
             return out.astype(jnp.float32)
         return super()._forward(variables, x)
 
-    def _forward_sharded(self, variables, x):
+    def _forward_sharded(self, variables, x, prep=None):
         # Device-sharded batch (mesh-sharded tiled inference): the fused
         # tails' per-image lax.map would serialize the batch across chips —
         # take the batch-parallel XLA tail instead.
-        return self._forward(variables, x, tail_batched_map=False)
+        return self._forward(variables, x, tail_batched_map=False, prep=prep)
 
     @classmethod
     def build(

@@ -356,6 +356,11 @@ def _cab_kernel(prev_ref, cur_ref, next_ref, s_ref, b_ref, w1_ref, b1_ref, w2_re
     psum_ref[0] = jnp.broadcast_to(jnp.sum(y2, axis=(0, 1))[None], (8, y2.shape[-1]))
 
 
+def prepare_cab_weights(w1, w2, dtype):
+    """Pre-lay fused_cab_body's two conv weights (pass via ``prep=``)."""
+    return {"w1s": prepare_conv3x3_weights(w1, dtype), "w2s": prepare_conv3x3_weights(w2, dtype)}
+
+
 @functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret", "ablate"))
 def fused_cab_body(
     x: jnp.ndarray,  # (B, H, W, C) — the block input (pre-LN)
@@ -367,6 +372,7 @@ def fused_cab_body(
     # each materialize a relayout copy; 23.4M scoped > 16M)
     interpret: bool = False,
     ablate: frozenset = frozenset(),  # timing-only stage skips
+    prep=None,  # optional prepare_cab_weights dict
 ):
     """One-pass HAT CAB trunk (``studiosr/models/hat.py`` CAB): returns
     (y2, channel_sums) with y2 = res_scale * conv2(gelu(conv1(LN(x)))) and
@@ -387,8 +393,12 @@ def fused_cab_body(
     kernel = functools.partial(_cab_kernel, res_scale=res_scale, ablate=ablate)
     cp1 = ((c + 127) // 128) * 128
     cp2 = ((cm + 127) // 128) * 128
-    w1s = _stack_weights(w1, cp1).astype(x.dtype)  # (3, 3*cp1, cm)
-    w2s = _stack_weights(w2, cp2).astype(x.dtype)  # (3, 3*cp2, c)
+    if prep is not None:
+        w1s, w2s = prep["w1s"], prep["w2s"]
+        assert w1s.shape == (3, 3 * cp1, cm) and w2s.shape == (3, 3 * cp2, c)
+    else:
+        w1s = _stack_weights(w1, cp1).astype(x.dtype)  # (3, 3*cp1, cm)
+        w2s = _stack_weights(w2, cp2).astype(x.dtype)  # (3, 3*cp2, c)
     y2, psums = pl.pallas_call(
         kernel,
         grid=grid,

@@ -152,6 +152,23 @@ def _ocab_kernel(
     )
 
 
+def prepare_ocab_weights(wqkv, bqkv, wproj, bias, heads: int, dtype):
+    """Pre-lay the OCAB qkv/proj weights + rel-pos bias into the kernel's
+    operand layout (pass via ``prep=``); same helpers as the in-trace path."""
+    c = wqkv.shape[0]
+    d = c // heads
+    dp = ((d + 31) // 32) * 32
+    s_ = heads * dp
+    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(
+        wqkv.astype(dtype), bqkv, wproj.astype(dtype), heads, d, dp
+    )
+    return {
+        "wq": wqkv_pad[:, :s_], "bq": bqkv_pad[:s_],
+        "wkv": wqkv_pad[:, s_:], "bkv": bqkv_pad[s_:],
+        "wproj": wproj_pad, "bias": bias.astype(dtype),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "ws", "overlap_ratio", "interpret"))
 def fused_ocab_block(
     x: jnp.ndarray,  # (B, H, W, C)
@@ -165,6 +182,7 @@ def fused_ocab_block(
     ws: int,
     overlap_ratio: float,
     interpret: bool = False,
+    prep=None,  # optional prepare_ocab_weights dict
 ):
     """Whole OCAB block (cross-attention + MLP) in one HBM pass. Returns
     ``None`` when the layout doesn't fit (caller falls back to XLA)."""
@@ -189,12 +207,17 @@ def fused_ocab_block(
     d = c // heads
     dp = ((d + 31) // 32) * 32
     s = heads * dp
-    wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
-    wq, bq = wqkv_pad[:, :s], bqkv_pad[:s]
-    wkv, bkv = wqkv_pad[:, s:], bqkv_pad[s:]
-    # bias in the compute dtype: exact in f32 mode; bf16 noise in bf16 mode
-    # (consistent with the rest of the bf16 path).
-    bias_t = bias.astype(x.dtype)
+    if prep is not None:
+        wq, bq, wkv, bkv = prep["wq"], prep["bq"], prep["wkv"], prep["bkv"]
+        wproj_pad, bias_t = prep["wproj"], prep["bias"]
+        assert wq.shape == (c, s) and wkv.shape == (c, 2 * s), (wq.shape, wkv.shape)
+    else:
+        wqkv_pad, bqkv_pad, wproj_pad = _pad_head_weights(wqkv, bqkv, wproj, heads, d, dp)
+        wq, bq = wqkv_pad[:, :s], bqkv_pad[:s]
+        wkv, bkv = wqkv_pad[:, s:], bqkv_pad[s:]
+        # bias in the compute dtype: exact in f32 mode; bf16 noise in bf16
+        # mode (consistent with the rest of the bf16 path).
+        bias_t = bias.astype(x.dtype)
     hidden = w1.shape[1]
 
     n_hb = hgt // pad

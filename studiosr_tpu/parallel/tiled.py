@@ -214,7 +214,7 @@ def _device_tiled(
 
             batch_sh = data_sharding(mesh, 4)
 
-        def run(variables, img):
+        def run(variables, img, prep=None):
             tiles = [lax.slice(img, (y, x, 0), (y + tile, x + tile, c)) for y, x in coords_t]
             tiles += [jnp.zeros((tile, tile, c), img.dtype)] * (n_b * batch - n)
             stack = jnp.stack(tiles).reshape(n_b, batch, tile, tile, c)
@@ -222,7 +222,7 @@ def _device_tiled(
             def fwd(b):
                 if mesh is not None:
                     b = lax.with_sharding_constraint(b, batch_sh)
-                return model._forward_uint8(variables, b, sharded=mesh is not None)
+                return model._forward_uint8(variables, b, sharded=mesh is not None, prep=prep)
 
             srs = lax.map(fwd, stack)
             srs = srs.reshape(n_b * batch, out_tile, out_tile, c)
@@ -242,7 +242,11 @@ def _device_tiled(
             return tuple(jnp.split(out, splits, axis=0))
         model._tiled_fwd_cache = (key, jax.jit(run))
 
-    chunks = model._tiled_fwd_cache[1](model.variables, padded)
+    prep = model.serving_prep()
+    if prep is not None:
+        chunks = model._tiled_fwd_cache[1](model.variables, padded, prep)
+    else:
+        chunks = model._tiled_fwd_cache[1](model.variables, padded)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(len(chunks)) as pool:

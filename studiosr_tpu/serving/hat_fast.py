@@ -29,7 +29,76 @@ from studiosr_tpu.ops.windows import (
 )
 from studiosr_tpu.serving.swinir_fast import _conv, _layernorm, _residual_conv
 
-__all__ = ["hat_fast_forward"]
+__all__ = ["hat_fast_forward", "prepare_hat_serving"]
+
+
+def prepare_hat_serving(variables, config, dtype):
+    """Pre-lay every HAT serving weight into its kernel operand layout
+    (see serving/swinir_fast.py prepare_serving for the rationale): HAB
+    attention head padding + rel-pos gathers, CAB conv tap stacks, RHAG
+    conv stacks, OCAB qkv/proj padding + the (256, 576, heads) OCA bias
+    gather, and the tail stage weights."""
+    from studiosr_tpu.ops.pallas.conv3x3 import (
+        prepare_cab_weights,
+        prepare_conv3x3_weights,
+    )
+    from studiosr_tpu.ops.pallas.ocab import prepare_ocab_weights
+    from studiosr_tpu.ops.pallas.swin_block import prepare_attention_weights
+    from studiosr_tpu.ops.pallas.upsampler import (
+        prepare_upsample_s_weights,
+        prepare_upsample_x4_weights,
+    )
+
+    params = variables["params"]
+    depths = list(config["depths"])
+    num_heads = list(config["num_heads"])
+    ws = int(config["window_size"])
+    scale = int(config["scale"])
+    overlap_ratio = float(config.get("overlap_ratio", 0.5))
+    rpi = relative_position_index(ws)
+    rpi_oca = relative_position_index_oca(ws, overlap_ratio)
+    owin = int(ws * overlap_ratio) + ws
+
+    prep = {"blocks": {}, "cab": {}, "convs": {}, "ocab": {}}
+    for li, depth in enumerate(depths):
+        layer = params[f"layers.{li}"]
+        heads = num_heads[li]
+        for bi in range(depth):
+            blk = layer[f"residual_group.blocks.{bi}"]
+            table = blk["attn"]["relative_position_bias_table"]
+            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            prep["blocks"][f"{li}.{bi}"] = prepare_attention_weights(
+                blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"], bias, heads, ws, dtype,
+            )
+            cb = blk["conv_block"]
+            prep["cab"][f"{li}.{bi}"] = prepare_cab_weights(
+                cb["cab.0"]["kernel"], cb["cab.2"]["kernel"], dtype
+            )
+        prep["convs"][str(li)] = prepare_conv3x3_weights(layer["conv"]["kernel"], dtype)
+        oa = layer["residual_group.overlap_attn"]
+        oca_bias = (
+            oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
+            .reshape(ws * ws, owin * owin, heads)
+            .transpose(2, 0, 1)
+        )
+        prep["ocab"][str(li)] = prepare_ocab_weights(
+            oa["qkv"]["kernel"], oa["qkv"]["bias"], oa["proj"]["kernel"], oca_bias, heads, dtype
+        )
+    prep["convs"]["after_body"] = prepare_conv3x3_weights(params["conv_after_body"]["kernel"], dtype)
+    if "conv_last" in params:
+        up = params["upsample"]
+        if scale == 4:
+            prep["tail"] = prepare_upsample_x4_weights(
+                up["0"]["kernel"], up["0"]["bias"], up["2"]["kernel"], up["2"]["bias"],
+                params["conv_last"]["kernel"], params["conv_last"]["bias"], dtype,
+            )
+        elif scale in (2, 3):
+            prep["tail"] = prepare_upsample_s_weights(
+                up["0"]["kernel"], up["0"]["bias"],
+                params["conv_last"]["kernel"], params["conv_last"]["bias"], scale, dtype,
+            )
+    return prep
 
 # Whole-HAB (incl. gate-folded CAB join) measured 133.8 vs 130.8 ms split —
 # neutral again; the CAB KERNEL itself is the cost (see exp_hat_ablate).
@@ -103,6 +172,7 @@ def hat_fast_forward(
     config: Dict[str, Any],
     interpret: bool = False,
     tail_batched_map: bool = True,
+    prep: Dict[str, Any] = None,
     _ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
     """``_ablate``: perf-dissection hook (scripts/exp_hat_ablate.py) — subsets
@@ -146,8 +216,14 @@ def hat_fast_forward(
             blk = layer[f"residual_group.blocks.{bi}"]
             shift = 0 if bi % 2 == 0 else ws // 2
 
-            table = blk["attn"]["relative_position_bias_table"]
-            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            bp = None if prep is None else prep["blocks"][f"{li}.{bi}"]
+            if bp is not None and bp["bias2"].shape[1] == ws * ws:
+                bias = bp["bias2"]  # ws>=12: bias2 IS the raw (heads, N, N) bias
+            else:
+                # ws=8 preps carry the pair-EMBEDDED bias; the raw one is
+                # still needed for the non-prepped call sites below.
+                table = blk["attn"]["relative_position_bias_table"]
+                bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
 
             # CAB trunk in one Pallas pass (LN + conv-GELU-conv + channel
             # sums); the global-mean squeeze-excite gate finishes in XLA and
@@ -166,6 +242,7 @@ def hat_fast_forward(
                     cb["cab.0"]["kernel"].astype(res.dtype), cb["cab.0"]["bias"],
                     cb["cab.2"]["kernel"].astype(res.dtype), cb["cab.2"]["bias"],
                     interpret=interpret,
+                    prep=None if prep is None else prep["cab"][f"{li}.{bi}"],
                 )
                 ca_mean = (csum / (hgt * wdt)).astype(res.dtype).reshape(n, 1, 1, c)
                 g = jax.nn.relu(_conv(ca_mean, cb["cab.3"]["attention.1"]))
@@ -201,21 +278,39 @@ def hat_fast_forward(
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
                 continue
             if "attn" not in _ablate:
-                fused = fused_window_attention_block(
-                    y,
-                    blk["norm1"]["scale"],
-                    blk["norm1"]["bias"],
-                    blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                    blk["attn"]["qkv"]["bias"],
-                    blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                    blk["attn"]["proj"]["bias"],
-                    bias,
-                    mask_k if shift else None,
-                    heads=heads,
-                    window_size=ws,
-                    mask_mode=mask_mode,
-                    interpret=interpret,
-                )
+                if bp is not None:
+                    fused = fused_window_attention_block(
+                        y,
+                        blk["norm1"]["scale"],
+                        blk["norm1"]["bias"],
+                        bp["wqkv"],
+                        bp["bqkv"],
+                        bp["wproj"],
+                        blk["attn"]["proj"]["bias"],
+                        bp["bias2"],
+                        mask_k if shift else None,
+                        heads=heads,
+                        window_size=ws,
+                        mask_mode=mask_mode,
+                        prepped=True,
+                        interpret=interpret,
+                    )
+                else:
+                    fused = fused_window_attention_block(
+                        y,
+                        blk["norm1"]["scale"],
+                        blk["norm1"]["bias"],
+                        blk["attn"]["qkv"]["kernel"].astype(y.dtype),
+                        blk["attn"]["qkv"]["bias"],
+                        blk["attn"]["proj"]["kernel"].astype(y.dtype),
+                        blk["attn"]["proj"]["bias"],
+                        bias,
+                        mask_k if shift else None,
+                        heads=heads,
+                        window_size=ws,
+                        mask_mode=mask_mode,
+                        interpret=interpret,
+                    )
                 if fused is None:
                     from studiosr_tpu.serving.swinir_fast import _xla_attention_block
 
@@ -263,7 +358,10 @@ def hat_fast_forward(
 
         if "ocab" in _ablate:
             if "conv" not in _ablate:
-                res = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
+                res = _residual_conv(
+                    res, layer["conv"], interpret=interpret, extra=feats,
+                    prep_w=None if prep is None else prep["convs"].get(str(li)),
+                )
                 feats = res
             else:
                 feats = res
@@ -273,11 +371,15 @@ def hat_fast_forward(
 
         rpi_oca = relative_position_index_oca(ws, overlap_ratio)
         owin = int(ws * overlap_ratio) + ws
-        oca_bias = (
-            oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
-            .reshape(ws * ws, owin * owin, heads)
-            .transpose(2, 0, 1)
-        )
+        op = None if prep is None else prep["ocab"][str(li)]
+        if op is None:
+            oca_bias = (
+                oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
+                .reshape(ws * ws, owin * owin, heads)
+                .transpose(2, 0, 1)
+            )
+        else:
+            oca_bias = op["bias"]
         fused_oca = fused_ocab_block(
             res,
             oa["norm1"]["scale"], oa["norm1"]["bias"],
@@ -288,16 +390,23 @@ def hat_fast_forward(
             oa["mlp"]["fc1"]["kernel"].astype(res.dtype), oa["mlp"]["fc1"]["bias"],
             oa["mlp"]["fc2"]["kernel"].astype(res.dtype), oa["mlp"]["fc2"]["bias"],
             heads=heads, ws=ws, overlap_ratio=overlap_ratio, interpret=interpret,
+            prep=op,
         )
         res = fused_oca if fused_oca is not None else _ocab(res, oa, heads, ws, overlap_ratio)
         if "conv" not in _ablate:
-            res = _residual_conv(res, layer["conv"], interpret=interpret, extra=feats)
+            res = _residual_conv(
+                res, layer["conv"], interpret=interpret, extra=feats,
+                prep_w=None if prep is None else prep["convs"].get(str(li)),
+            )
         feats = res
 
     if "tail" in _ablate:
         return feats
     feats = _layernorm(feats, params["norm"])
-    x = _residual_conv(feats, params["conv_after_body"], interpret=interpret, extra=shallow)
+    x = _residual_conv(
+        feats, params["conv_after_body"], interpret=interpret, extra=shallow,
+        prep_w=None if prep is None else prep["convs"].get("after_body"),
+    )
     x = _conv(x, params["conv_before_upsample.0"])
     x = jax.nn.leaky_relu(x, 0.01)
     up = params["upsample"]
@@ -310,6 +419,7 @@ def hat_fast_forward(
             up["2"]["kernel"].astype(x.dtype), up["2"]["bias"],
             params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
             interpret=interpret, batched_map=tail_batched_map,
+            prep=None if prep is None else prep.get("tail"),
         )
         if fused_tail is not None:
             x = (fused_tail + mean) * img_range
@@ -322,6 +432,7 @@ def hat_fast_forward(
             up["0"]["kernel"].astype(x.dtype), up["0"]["bias"],
             params["conv_last"]["kernel"].astype(x.dtype), params["conv_last"]["bias"],
             s=scale, interpret=interpret, batched_map=tail_batched_map,
+            prep=None if prep is None else prep.get("tail"),
         )
         if fused_tail is not None:
             x = (fused_tail + mean) * img_range

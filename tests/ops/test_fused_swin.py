@@ -134,6 +134,56 @@ def test_serving_prep_matches_in_trace_prep():
     assert model.serving_prep() is None
 
 
+def test_prep_threads_through_uint8_and_tiled_paths():
+    """serving_prep must flow through forward_uint8, sharded_forward and
+    inference_tiled (the paths tiled serving actually uses) and be
+    output-identical to the in-trace layout."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = SwinIR.build(scale=4, **SMALL)
+    model.enable_fused(True)
+    prep = model.serving_prep()
+    assert prep is not None
+    rng = np.random.default_rng(11)
+    img8 = rng.integers(0, 256, size=(1, 16, 16, 3), dtype=np.uint8)
+
+    want = np.asarray(model._forward_uint8(model.variables, jnp.asarray(img8), sharded=False))
+    got = np.asarray(model.forward_uint8(jnp.asarray(img8)))  # passes prep internally
+    np.testing.assert_array_equal(got, want)
+
+    wants = np.asarray(model._forward_sharded(model.variables, jnp.asarray(img8, jnp.float32) / 255.0))
+    gots = np.asarray(model.sharded_forward(jnp.asarray(img8, jnp.float32) / 255.0))
+    np.testing.assert_allclose(gots, wants, atol=2e-6, rtol=1e-6)
+
+    big = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    for device_loop in (True, False):
+        tiled = tiled_inference(model, big, tile=16, tile_overlap=4, device_loop=device_loop)
+        assert tiled.shape == (160, 160, 3)
+
+
+def test_hat_serving_prep_matches_in_trace_prep():
+    """HAT's pre-laid weights (prepare_hat_serving: HAB attention, CAB,
+    convs, OCAB, tail) must reproduce the in-trace layout exactly — at
+    ws=8, which exercises the pair-embedded-bias prep branch."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.hat import HAT
+
+    model = HAT.build(scale=2, embed_dim=30, depths=[2], num_heads=[2], window_size=8, mlp_ratio=2.0)
+    model.enable_fused(True)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 24, 24, 3)), jnp.float32)
+
+    want = np.asarray(model._jit_forward(model.variables, x))  # in-trace prep
+    prep = model.serving_prep()
+    assert prep is not None and prep["blocks"] and prep["cab"] and prep["ocab"]
+    got = np.asarray(model._jit_forward(model.variables, x, prep=prep))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+    assert model.serving_prep() is prep  # cached
+
+
 @pytest.mark.parametrize("direction", [1, -1])
 def test_fused_swin_block_read_shift_equals_rolled(direction):
     """read_shift=±ws/2 must equal jnp.roll -> fused_swin_block(read_shift=0)
