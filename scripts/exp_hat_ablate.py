@@ -22,11 +22,13 @@ def main() -> None:
     from studiosr_tpu.utils.helpers import enable_compilation_cache
 
     enable_compilation_cache()
-    reps = 8
+    reps = 16
     h = w = 256
     model = HAT.build(scale=4, fast_init=True).half()
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
+    model.enable_fused(True)
+    prep = model.serving_prep()  # serving config: pre-laid weights
 
     variants = [
         ("full", frozenset()),
@@ -39,20 +41,20 @@ def main() -> None:
         ("nothing", frozenset({"cab", "attn", "mlp", "ocab", "conv", "tail"})),
     ]
     for name, ab in variants:
-        def chained(v, inp, ab=ab):
+        def chained(v, p, inp, ab=ab):
             def body(carry, _):
-                out = hat_fast_forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6), model.config, _ablate=ab)
+                out = hat_fast_forward(v, inp + carry.astype(inp.dtype) * jnp.bfloat16(1e-6), model.config, prep=p, _ablate=ab)
                 return out.astype(jnp.float32).mean(), None
 
             s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(reps))
             return s
 
         f = jax.jit(chained)
-        float(f(variables, x))
+        float(f(variables, prep, x))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(variables, x))
+            float(f(variables, prep, x))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:12s}: {best / reps * 1e3:7.1f} ms", flush=True)
 

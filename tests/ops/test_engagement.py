@@ -85,6 +85,52 @@ def test_hat_fused_engaged_at_bench_shape():
     )
 
 
+def test_fused_engaged_with_serving_prep_at_bench_shape():
+    """The load-time pre-layout path must engage the SAME kernels at bench
+    geometry: a layout mismatch on pre-laid weights would silently fall back
+    to XLA with bit-identical outputs (only slower) — the round-2 failure
+    mode, now possible on a second code path."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.hat import HAT
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+    from studiosr_tpu.serving.hat_fast import hat_fast_forward
+
+    cases = (
+        (
+            SwinIR,
+            swinir_fast_forward,
+            ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4", "mask_rows2"],
+        ),
+        (
+            HAT,
+            hat_fast_forward,
+            [
+                "fused_cab_body",
+                "fused_window_attention_block",
+                "fused_mlp_block",
+                "fused_ocab_block",
+                "fused_conv3x3",
+                "fused_upsample_x4",
+                "mask_cls4",
+            ],
+        ),
+    )
+    for cls, forward, names in cases:
+        model = cls.build(scale=4, fast_init=True).half().enable_fused(True)
+        prep = model.serving_prep()
+        assert prep is not None, cls.__name__
+        engagement.reset()
+        jax.clear_caches()
+        x = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.bfloat16)
+        jax.eval_shape(
+            lambda v, a, p, forward=forward, config=model.config: forward(v, a, config, prep=p),
+            model.variables, x, prep,
+        )
+        _assert_engaged(engagement.counters(), names)
+
+
 def test_maxsr_fused_attention_engaged_at_bench_shape():
     """MaxSR adaptive x4 at 256x256 (sweep shape): all 32 attention pairs
     must route through the fused Pallas attention kernel when enable_fused
