@@ -67,7 +67,9 @@ def main() -> None:
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32), jnp.bfloat16)
     variables = jax.device_put(model.variables)
 
-    lowered = jax.jit(lambda v, a: model._forward(v, a)).lower(variables, x)
+    prep = model.serving_prep()  # audit the pre-laid serving configuration
+    kw = {} if prep is None else {"prep": prep}
+    lowered = jax.jit(lambda v, a: model._forward(v, a, **kw)).lower(variables, x)
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
@@ -85,7 +87,7 @@ def main() -> None:
             in_entry = False
         if not in_entry:
             continue
-        m = re.match(r"\s+(%?[\w.\-]+)\s*=\s*(\S+)\s+(\w+)\(", line)
+        m = re.match(r"\s+(%?[\w.\-]+)\s*=\s*(\S+)\s+([\w\-]+)\(", line)
         if not m:
             continue
         shape_str, opcode = m.group(2), m.group(3)
