@@ -40,13 +40,15 @@ def main() -> None:
     h = w = args.size
     for name in args.models:
         cls = get_model_class(name)
-        try:
-            model = cls.build(scale=args.scale, fast_init=True)
-        except TypeError:
-            model = cls.build(scale=args.scale)
 
         modes = [("bf16", True)] + ([("f32", False)] if args.f32 else [])
         for tag, half in modes:
+            # fresh model per mode: half()/enable_fused mutate in place and
+            # cannot be reverted for the f32 row
+            try:
+                model = cls.build(scale=args.scale, fast_init=True)
+            except TypeError:
+                model = cls.build(scale=args.scale)
             if half:
                 model.half()
                 if hasattr(model, "enable_fused") and not args.no_fused:

@@ -266,7 +266,7 @@ class Model(metaclass=_ModelMeta):
         outputs = []
         for variant in diverge_images(image.astype(np.float32) / scale):
             x = jnp.asarray(np.ascontiguousarray(variant))[None]
-            y = self._jit_forward(self.variables, x)[0]
+            y = self(x)[0]  # __call__ threads serving_prep (pre-laid weights)
             outputs.append(np.asarray(y))
         merged = converge_images(outputs) * scale
         return np.clip(np.round(merged), 0, 255).astype(np.uint8)

@@ -381,7 +381,9 @@ class HAT(Model):
             return cache[2]
         from studiosr_tpu.serving.hat_fast import prepare_hat_serving
 
-        prep = prepare_hat_serving(self.variables, self.config, dtype)
+        # One jitted program instead of hundreds of eager relay dispatches
+        # per load (see models/swinir.py serving_prep).
+        prep = jax.jit(lambda v: prepare_hat_serving(v, self.config, dtype))(self.variables)
         self._serving_prep_cache = (self.variables, dtype, prep)
         return prep
 

@@ -344,7 +344,10 @@ class SwinIR(Model):
             return cache[2]
         from studiosr_tpu.serving import prepare_serving
 
-        prep = prepare_serving(self.variables, self.config, dtype)
+        # One jitted program: the builder body is hundreds of small ops that
+        # would otherwise each be a separate eager dispatch over the remote
+        # relay (~24 ms RPC apiece) at every model load.
+        prep = jax.jit(lambda v: prepare_serving(v, self.config, dtype))(self.variables)
         self._serving_prep_cache = (self.variables, dtype, prep)
         return prep
 

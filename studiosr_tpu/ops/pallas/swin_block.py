@@ -583,7 +583,6 @@ def fused_window_attention_block(
     # otherwise — the shared selection in _select_chunk.
     chunk, use_pairs = _select_chunk(nw_row, heads, n)
     cw = chunk * ws  # chunk width in pixels
-    grid = (b, hgt // ws, nw_row // chunk)
 
     if drop_path is not None and not use_pairs:
         raise NotImplementedError("drop_path folding requires the pair kernel")
@@ -606,7 +605,15 @@ def fused_window_attention_block(
     # measured MUCH slower at TRAINING shapes (1.86 vs 0.84 s/step at spp=8
     # — Mosaic pipelines DMA against compute ACROSS grid steps); the serving
     # regime is re-measurable via the spp argument (scripts/exp_spp.py).
-    if spp != 1 and ((hgt // ws) % spp or not use_pairs or drop_path is not None):
+    # mask+spp>1 additionally needs one chunk per window row: a program's
+    # spp*chunk mask block can only cover its windows contiguously when
+    # chunk == nw_row (the dense index map is in spp*chunk block units).
+    if spp != 1 and (
+        (hgt // ws) % spp
+        or not use_pairs
+        or drop_path is not None
+        or (mask is not None and chunk != nw_row)
+    ):
         spp = 1
 
     base_kernel = _attn_block_kernel_pairs if use_pairs else _attn_block_kernel

@@ -137,6 +137,15 @@ def relative_position_index(window_size: int) -> np.ndarray:
     return relative.sum(-1).astype(np.int32)
 
 
+def gather_rel_bias(table, rpi: np.ndarray, heads: int):
+    """(table_len, heads) rel-pos bias table -> (heads, nq, nk) bias via the
+    numpy index grid from :func:`relative_position_index` (nq == nk) or
+    :func:`relative_position_index_oca` (nk extended). One definition for
+    the six serving/prep call sites."""
+    nq, nk = rpi.shape
+    return table[jnp.asarray(rpi.reshape(-1))].reshape(nq, nk, heads).transpose(2, 0, 1)
+
+
 @lru_cache(maxsize=64)
 def relative_position_index_oca(window_size: int, overlap_ratio: float) -> np.ndarray:
     """(ws*ws, wse*wse) rel-pos index for overlapping cross-attention.

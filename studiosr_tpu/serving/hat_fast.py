@@ -21,13 +21,14 @@ from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block, fused_window_att
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
 from studiosr_tpu.ops.windows import (
     calculate_mask,
+    gather_rel_bias,
     pad_to_multiple_reflect,
     relative_position_index,
     relative_position_index_oca,
     window_partition,
     window_reverse,
 )
-from studiosr_tpu.serving.swinir_fast import _conv, _layernorm, _residual_conv
+from studiosr_tpu.serving.swinir_fast import _attn_operands, _conv, _layernorm, _residual_conv
 
 __all__ = ["hat_fast_forward", "prepare_hat_serving"]
 
@@ -65,8 +66,7 @@ def prepare_hat_serving(variables, config, dtype):
         heads = num_heads[li]
         for bi in range(depth):
             blk = layer[f"residual_group.blocks.{bi}"]
-            table = blk["attn"]["relative_position_bias_table"]
-            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            bias = gather_rel_bias(blk["attn"]["relative_position_bias_table"], rpi, heads)
             prep["blocks"][f"{li}.{bi}"] = prepare_attention_weights(
                 blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
                 blk["attn"]["proj"]["kernel"], bias, heads, ws, dtype,
@@ -77,11 +77,7 @@ def prepare_hat_serving(variables, config, dtype):
             )
         prep["convs"][str(li)] = prepare_conv3x3_weights(layer["conv"]["kernel"], dtype)
         oa = layer["residual_group.overlap_attn"]
-        oca_bias = (
-            oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
-            .reshape(ws * ws, owin * owin, heads)
-            .transpose(2, 0, 1)
-        )
+        oca_bias = gather_rel_bias(oa["relative_position_bias_table"], rpi_oca, heads)
         prep["ocab"][str(li)] = prepare_ocab_weights(
             oa["qkv"]["kernel"], oa["qkv"]["bias"], oa["proj"]["kernel"], oca_bias, heads, dtype
         )
@@ -145,8 +141,7 @@ def _ocab(x, p, heads, ws, overlap_ratio):
 
     nq, nk = ws * ws, owin * owin
     rpi = relative_position_index_oca(ws, overlap_ratio)
-    table = p["relative_position_bias_table"]
-    bias = table[jnp.asarray(rpi.reshape(-1))].reshape(nq, nk, heads).transpose(2, 0, 1)
+    bias = gather_rel_bias(p["relative_position_bias_table"], rpi, heads)
 
     bw = q_windows.shape[0]
     qh = q_windows.reshape(bw, nq, heads, d).transpose(0, 2, 1, 3) * (d**-0.5)
@@ -217,13 +212,18 @@ def hat_fast_forward(
             shift = 0 if bi % 2 == 0 else ws // 2
 
             bp = None if prep is None else prep["blocks"][f"{li}.{bi}"]
+
+            def _raw_bias(blk=blk, heads=heads):
+                return gather_rel_bias(blk["attn"]["relative_position_bias_table"], rpi, heads)
+
             if bp is not None and bp["bias2"].shape[1] == ws * ws:
                 bias = bp["bias2"]  # ws>=12: bias2 IS the raw (heads, N, N) bias
-            else:
+            elif bp is not None:
                 # ws=8 preps carry the pair-EMBEDDED bias; the raw one is
-                # still needed for the non-prepped call sites below.
-                table = blk["attn"]["relative_position_bias_table"]
-                bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+                # materialized lazily only if a kernel declines.
+                bias = None
+            else:
+                bias = _raw_bias()
 
             # CAB trunk in one Pallas pass (LN + conv-GELU-conv + channel
             # sums); the global-mean squeeze-excite gate finishes in XLA and
@@ -267,7 +267,7 @@ def hat_fast_forward(
                 blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
                 blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
-                bias, mask_k if shift else None,
+                bias if bias is not None else _raw_bias(), mask_k if shift else None,
                 blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
                 blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
@@ -278,43 +278,27 @@ def hat_fast_forward(
                 res = jnp.roll(whole, (shift, shift), axis=(1, 2)) if shift else whole
                 continue
             if "attn" not in _ablate:
-                if bp is not None:
-                    fused = fused_window_attention_block(
-                        y,
-                        blk["norm1"]["scale"],
-                        blk["norm1"]["bias"],
-                        bp["wqkv"],
-                        bp["bqkv"],
-                        bp["wproj"],
-                        blk["attn"]["proj"]["bias"],
-                        bp["bias2"],
-                        mask_k if shift else None,
-                        heads=heads,
-                        window_size=ws,
-                        mask_mode=mask_mode,
-                        prepped=True,
-                        interpret=interpret,
-                    )
-                else:
-                    fused = fused_window_attention_block(
-                        y,
-                        blk["norm1"]["scale"],
-                        blk["norm1"]["bias"],
-                        blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                        blk["attn"]["qkv"]["bias"],
-                        blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                        blk["attn"]["proj"]["bias"],
-                        bias,
-                        mask_k if shift else None,
-                        heads=heads,
-                        window_size=ws,
-                        mask_mode=mask_mode,
-                        interpret=interpret,
-                    )
+                wq, bq, wp, bs, is_prepped = _attn_operands(bp, blk, bias, y.dtype)
+                fused = fused_window_attention_block(
+                    y,
+                    blk["norm1"]["scale"],
+                    blk["norm1"]["bias"],
+                    wq, bq, wp,
+                    blk["attn"]["proj"]["bias"],
+                    bs,
+                    mask_k if shift else None,
+                    heads=heads,
+                    window_size=ws,
+                    mask_mode=mask_mode,
+                    prepped=is_prepped,
+                    interpret=interpret,
+                )
                 if fused is None:
                     from studiosr_tpu.serving.swinir_fast import _xla_attention_block
 
-                    fused = _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
+                    fused = _xla_attention_block(
+                        y, blk, bias if bias is not None else _raw_bias(), mask if shift else None, heads, ws
+                    )
                 y = fused
             if shift:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -373,11 +357,7 @@ def hat_fast_forward(
         owin = int(ws * overlap_ratio) + ws
         op = None if prep is None else prep["ocab"][str(li)]
         if op is None:
-            oca_bias = (
-                oa["relative_position_bias_table"][jnp.asarray(rpi_oca.reshape(-1))]
-                .reshape(ws * ws, owin * owin, heads)
-                .transpose(2, 0, 1)
-            )
+            oca_bias = gather_rel_bias(oa["relative_position_bias_table"], rpi_oca, heads)
         else:
             oca_bias = op["bias"]
         fused_oca = fused_ocab_block(

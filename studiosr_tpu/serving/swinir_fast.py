@@ -27,7 +27,12 @@ from studiosr_tpu.ops.pallas.swin_block import (
     shift_fold_supported,
 )
 from studiosr_tpu.ops.pixel_shuffle import pixel_shuffle
-from studiosr_tpu.ops.windows import calculate_mask, pad_to_multiple_flip, relative_position_index
+from studiosr_tpu.ops.windows import (
+    calculate_mask,
+    gather_rel_bias,
+    pad_to_multiple_flip,
+    relative_position_index,
+)
 
 __all__ = ["swinir_fast_forward", "prepare_serving"]
 
@@ -64,8 +69,7 @@ def prepare_serving(variables: Dict[str, Any], config: Dict[str, Any], dtype) ->
         heads = num_heads[li]
         for bi in range(depth):
             blk = layer[f"residual_group.blocks.{bi}"]
-            table = blk["attn"]["relative_position_bias_table"]
-            bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            bias = gather_rel_bias(blk["attn"]["relative_position_bias_table"], rpi, heads)
             prep["blocks"][f"{li}.{bi}"] = prepare_attention_weights(
                 blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
                 blk["attn"]["proj"]["kernel"], bias, heads, ws, dtype,
@@ -105,6 +109,17 @@ def prepare_serving(variables: Dict[str, Any], config: Dict[str, Any], dtype) ->
 # A/B flag (scripts/exp_swinfir_ablate.py): SFB spatial-branch 3x3 convs via
 # the streaming Pallas kernel (True) or XLA convs (False).
 SFB_STREAM_S = True
+
+
+def _attn_operands(bp, blk, bias, dtype):
+    """Attention-kernel weight operands: the pre-laid layout when a prep
+    block is available, the raw linen weights otherwise. Returns
+    ``(wqkv, bqkv, wproj, bias, prepped)`` — the single selection point for
+    every fused_swin_block / fused_window_attention_block call site."""
+    if bp is not None:
+        return bp["wqkv"], bp["bqkv"], bp["wproj"], bp["bias2"], True
+    a = blk["attn"]
+    return a["qkv"]["kernel"].astype(dtype), a["qkv"]["bias"], a["proj"]["kernel"].astype(dtype), bias, False
 
 
 def _conv(x, p, stride=1):
@@ -277,15 +292,12 @@ def swinir_fast_forward(
             shift = 0 if bi % 2 == 0 else sh
 
             bp = None if prep is None else prep["blocks"][f"{li}.{bi}"]
-            if bp is None:
-                table = blk["attn"]["relative_position_bias_table"]
-                bias = table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
-            else:
-                bias = None  # raw bias only materialized if a kernel declines
 
             def _raw_bias(blk=blk, heads=heads):
-                table = blk["attn"]["relative_position_bias_table"]
-                return table[jnp.asarray(rpi.reshape(-1))].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+                return gather_rel_bias(blk["attn"]["relative_position_bias_table"], rpi, heads)
+
+            # raw bias only materialized if a kernel declines the prep
+            bias = None if bp is not None else _raw_bias()
 
             y = res
             if "attn" in _ablate and "mlp" in _ablate:
@@ -297,31 +309,18 @@ def swinir_fast_forward(
                 read_shift = (desired - space) * sh if fold_ok else 0
                 if not fold_ok and shift and "roll" not in _ablate:
                     y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-                if bp is not None:
-                    whole = fused_swin_block(
-                        y,
-                        blk["norm1"]["scale"], blk["norm1"]["bias"],
-                        bp["wqkv"], bp["bqkv"], bp["wproj"], blk["attn"]["proj"]["bias"],
-                        bp["bias2"], mask_k if shift else None,
-                        blk["norm2"]["scale"], blk["norm2"]["bias"],
-                        blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
-                        blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                        heads=heads, window_size=ws, read_shift=read_shift,
-                        mask_mode=mask_mode, prepped=True, interpret=interpret,
-                    )
-                else:
-                    whole = fused_swin_block(
-                        y,
-                        blk["norm1"]["scale"], blk["norm1"]["bias"],
-                        blk["attn"]["qkv"]["kernel"].astype(y.dtype), blk["attn"]["qkv"]["bias"],
-                        blk["attn"]["proj"]["kernel"].astype(y.dtype), blk["attn"]["proj"]["bias"],
-                        bias, mask_k if shift else None,
-                        blk["norm2"]["scale"], blk["norm2"]["bias"],
-                        blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
-                        blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
-                        heads=heads, window_size=ws, read_shift=read_shift,
-                        mask_mode=mask_mode, interpret=interpret,
-                    )
+                wq, bq, wp, bs, is_prepped = _attn_operands(bp, blk, bias, y.dtype)
+                whole = fused_swin_block(
+                    y,
+                    blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    wq, bq, wp, blk["attn"]["proj"]["bias"],
+                    bs, mask_k if shift else None,
+                    blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["kernel"].astype(y.dtype), blk["mlp"]["fc1"]["bias"],
+                    blk["mlp"]["fc2"]["kernel"].astype(y.dtype), blk["mlp"]["fc2"]["bias"],
+                    heads=heads, window_size=ws, read_shift=read_shift,
+                    mask_mode=mask_mode, prepped=is_prepped, interpret=interpret,
+                )
                 if whole is not None:
                     if fold_ok:
                         space = desired
@@ -342,39 +341,21 @@ def swinir_fast_forward(
             else:
                 fused = None
                 if use_fused_attn:
-                    if bp is not None:
-                        fused = fused_window_attention_block(
-                            y,
-                            blk["norm1"]["scale"],
-                            blk["norm1"]["bias"],
-                            bp["wqkv"],
-                            bp["bqkv"],
-                            bp["wproj"],
-                            blk["attn"]["proj"]["bias"],
-                            bp["bias2"],
-                            mask_k if shift else None,
-                            heads=heads,
-                            window_size=ws,
-                            mask_mode=mask_mode,
-                            prepped=True,
-                            interpret=interpret,
-                        )
-                    else:
-                        fused = fused_window_attention_block(
-                            y,
-                            blk["norm1"]["scale"],
-                            blk["norm1"]["bias"],
-                            blk["attn"]["qkv"]["kernel"].astype(y.dtype),
-                            blk["attn"]["qkv"]["bias"],
-                            blk["attn"]["proj"]["kernel"].astype(y.dtype),
-                            blk["attn"]["proj"]["bias"],
-                            bias,
-                            mask_k if shift else None,
-                            heads=heads,
-                            window_size=ws,
-                            mask_mode=mask_mode,
-                            interpret=interpret,
-                        )
+                    wq, bq, wp, bs, is_prepped = _attn_operands(bp, blk, bias, y.dtype)
+                    fused = fused_window_attention_block(
+                        y,
+                        blk["norm1"]["scale"],
+                        blk["norm1"]["bias"],
+                        wq, bq, wp,
+                        blk["attn"]["proj"]["bias"],
+                        bs,
+                        mask_k if shift else None,
+                        heads=heads,
+                        window_size=ws,
+                        mask_mode=mask_mode,
+                        prepped=is_prepped,
+                        interpret=interpret,
+                    )
                 if fused is None and bias is None:
                     bias = _raw_bias()
                 y = fused if fused is not None else _xla_attention_block(y, blk, bias, mask if shift else None, heads, ws)
