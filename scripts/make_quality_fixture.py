@@ -251,6 +251,21 @@ def make_swinir_s_fixture(scale: int, iters: int = 1500) -> None:
     )
 
 
+def make_hat_s_fixture(scale: int, iters: int = 1500) -> None:
+    """HAT-tiny at x2/x3: trained-weights floors for hat_fast's
+    single-shuffle fused tail + scale-dependent prep/tail selection."""
+    from studiosr_tpu.models import HAT
+
+    make_fixture(
+        lambda: HAT.build(
+            scale=scale, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        f"HAT-tiny x{scale}", f"hat_x{scale}_ckpt",
+        scale=scale, seed=8 + scale, iters=iters, crop=16, batch=8, lr_suffix=f"_lrx{scale}",
+    )
+
+
 def make_swinfir_fixture(iters: int = 1500) -> None:
     from studiosr_tpu.models import SwinFIR
 
@@ -290,5 +305,9 @@ if __name__ == "__main__":
         make_swinir_s_fixture(2)
     elif "--swinir-x3" in sys.argv:
         make_swinir_s_fixture(3)
+    elif "--hat-x2" in sys.argv:
+        make_hat_s_fixture(2)
+    elif "--hat-x3" in sys.argv:
+        make_hat_s_fixture(3)
     else:
         main()

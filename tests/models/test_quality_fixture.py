@@ -231,3 +231,16 @@ def test_swinir_trained_fused_tail_quality_x2_x3(scale):
     _assert_fused_quality_floors(
         lambda: _load_fixture_pairs(ckpt, "swinir", f"_lrx{scale}", mod_crop=scale)
     )
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_hat_trained_fused_tail_quality_x2_x3(scale):
+    """Trained-weights PSNR floors for HAT at x2/x3: hat_fast's
+    scale-dependent tail/prep selection through the single-shuffle fused
+    tail (the x4 fixture covers only the quadrant-planar tail)."""
+    ckpt = os.path.join(FIXTURES, f"hat_x{scale}_ckpt")
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip(f"hat x{scale} quality fixture not generated")
+    _assert_fused_quality_floors(
+        lambda: _load_fixture_pairs(ckpt, "hat", f"_lrx{scale}", mod_crop=scale)
+    )
