@@ -92,7 +92,7 @@ def main() -> None:
     t0 = time.perf_counter()
     trainer2 = Trainer(build(), dataset, ev, **{**kwargs, "max_iters": 60})
     trainer2.run()
-    assert trainer2.iteration == 60, trainer2.iteration
+    assert int(trainer2.state.step) == 60, int(trainer2.state.step)
     print(f"resume: {time.perf_counter() - t0:.0f}s, evals {ev.calls}", flush=True)
 
     # the checkpoint serves through the fused path
