@@ -9,16 +9,15 @@ key/value windows), plus the Google-Drive ``params_ema`` zoo
 
 TPU-first notes:
 * the overlapping kv windows (reference ``nn.Unfold``, ``hat.py:217-221``)
-  are produced by two trace-time-indexed gathers (rows then cols) on the
-  zero-padded feature map — no im2col materialization in HBM beyond the
-  (nW, owin^2, 2C) window tensor itself;
+  are built from static row/col slices of the zero-padded feature map (no
+  XLA gather; the training backward is pad+add instead of scatter) — no
+  im2col materialization in HBM beyond the (nW, owin^2, 2C) window tensor;
 * shift masks / relative-position tables are trace-time constants;
 * all window batches feed the shared :func:`attention_core` backend.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -30,6 +29,7 @@ from studiosr_tpu.models.base import Model
 from studiosr_tpu.models.blocks import DropPath, LayerNorm, Mlp, Normalizer, Upsampler, conv, gelu
 from studiosr_tpu.models.swinir import WindowAttention
 from studiosr_tpu.ops.attention import attention_core
+from studiosr_tpu.ops.oca_vjp import oca_attention, oca_supported
 from studiosr_tpu.ops.windows import (
     calculate_mask,
     pad_to_multiple_reflect,
@@ -159,25 +159,14 @@ class HAB(nn.Module):
         return x + DropPath(self.drop_path)(y, deterministic=not train)
 
 
-@lru_cache(maxsize=64)
-def _overlap_gather_indices(h: int, w: int, window_size: int, overlap_win: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Row/col gather indices producing overlapping (owin x owin) windows at
-    stride ws from a zero-padded map — the unfold analog, trace-time."""
-    pad = (overlap_win - window_size) // 2
-    rows = np.arange(h // window_size)[:, None] * window_size + np.arange(overlap_win)[None, :]
-    cols = np.arange(w // window_size)[:, None] * window_size + np.arange(overlap_win)[None, :]
-    # indices into the padded map of size (h + 2*pad, w + 2*pad)
-    del pad
-    return rows.astype(np.int32), cols.astype(np.int32)
-
-
 class OCAB(nn.Module):
     """Overlapping cross-attention block (``hat.py:198-293``).
 
-    ``fused_train=True`` (memory-constrained training path) computes the
-    cross-attention as a checkpointed scan over window chunks: the
-    (nW, heads, 256, 576) f32 score tensor — 1.7 GB at batch 32 — never
-    materializes whole in forward or backward."""
+    ``fused_train=True`` (memory-constrained training path) routes the
+    cross-attention through the Pallas custom VJP (ops/oca_vjp.py): the
+    (nW, heads, 256, 576) f32 score tensor — 1.7 GB at batch 32 — stays in
+    VMEM per window in both directions. Layouts the kernel declines fall
+    back to a checkpointed scan over window chunks."""
 
     dim: int
     num_heads: int
@@ -205,10 +194,18 @@ class OCAB(nn.Module):
         q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
 
         # Key/value windows: overlapping owin x owin at stride ws, zero pad.
+        # Built from STATIC slices (window i rows [i*ws, i*ws+owin) of the
+        # padded map), not advanced indexing: an index-array gather lowers to
+        # XLA gather and its training backward to scatter-add — measured as
+        # the bulk of OCAB's 0.257 s/step overlap surcharge (STATUS.md
+        # session 10). Slice backward is pad+add, which XLA fuses.
         kv_pad = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        rows, cols = _overlap_gather_indices(h, w, ws, owin)
-        gathered = kv_pad[:, jnp.asarray(rows)]  # (B, nH, owin, Wp, 2C)
-        gathered = gathered[:, :, :, jnp.asarray(cols)]  # (B, nH, owin, nW, owin, 2C)
+        rows = jnp.stack(
+            [kv_pad[:, i * ws : i * ws + owin] for i in range(h // ws)], axis=1
+        )  # (B, nH, owin, Wp, 2C)
+        gathered = jnp.stack(
+            [rows[:, :, :, j * ws : j * ws + owin] for j in range(w // ws)], axis=3
+        )  # (B, nH, owin, nW, owin, 2C)
         gathered = gathered.transpose(0, 1, 3, 2, 4, 5).reshape(-1, owin * owin, 2 * c)
         k_windows, v_windows = gathered[..., :c], gathered[..., c:]
 
@@ -225,15 +222,18 @@ class OCAB(nn.Module):
         qh = q_windows.reshape(bw, nq, heads, d).transpose(0, 2, 1, 3) * (d**-0.5)
         kh = k_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
         vh = v_windows.reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
-        ck = 0
-        if self.fused_train and bw > 32:
-            ck = max((m for m in range(1, 33) if bw % m == 0))
-        if ck:
+        if self.fused_train and oca_supported(heads, nq, nk):
+            # Pallas custom VJP: scores stay in VMEM both directions
+            # (ops/oca_vjp.py; ~0.257 s/step of the plain-autodiff scan
+            # removed from the HAT train step, exp_hat_train_ablate.py).
+            out = oca_attention(qh, kh, vh, bias)
+        elif self.fused_train and bw > 32:
             core = jax.checkpoint(lambda q, k, v: attention_core(q, k, v, bias=bias))
 
             def body(carry, args):
                 return carry, core(*args)
 
+            ck = max((m for m in range(1, 33) if bw % m == 0))
             shape = (bw // ck, ck, heads)
             _, outc = jax.lax.scan(
                 body, None,
@@ -282,10 +282,10 @@ class RHAG(nn.Module):
                 fused_train=self.fused_train,
                 name=f"residual_group.blocks.{i}",
             )(res, train=train)
-        # OCAB stays plain autodiff; under fused training it is the one
-        # block without internal recompute, so remat it individually (its
-        # (nW, heads, 256, 576) cross-attention probabilities are the
-        # largest residuals in the group).
+        # Under fused training OCAB's attention core runs the Pallas custom
+        # VJP (ops/oca_vjp.py) when the layout fits; remat the block anyway —
+        # its gather intermediates (B, nH, owin, Wp, 2C) are still the
+        # largest non-kernel residuals in the group.
         ocab_cls = nn.remat(OCAB, static_argnums=(2,)) if self.fused_train else OCAB
         res = ocab_cls(
             dim=self.dim,
