@@ -40,6 +40,18 @@ from studiosr_tpu.ops.windows import (
 
 __all__ = ["HAT", "HATModule"]
 
+# Experiment knobs (trace-time: re-jit after flipping, jit caches branches —
+# CLAUDE.md session-2 lesson). Measured in scripts/exp_ocab_train_micro.py.
+# OCAB_REMAT: wrap OCAB in nn.remat under fused training. The OCA custom VJP
+#   already bounds the score memory; remat additionally recomputes the 2.25x
+#   kv unfold + qkv dense + bias gather during the backward pass.
+OCAB_REMAT = True
+# Timing-only probes for the OCAB bias-table path: OCA_BIAS=False ablates the
+# (heads, nq, nk) gather entirely; OCA_BIAS_GRAD=False stop-gradients it
+# (kills the backward scatter-add into the (2209, heads) table).
+OCA_BIAS = True
+OCA_BIAS_GRAD = True
+
 
 class ChannelAttentionHAT(nn.Module):
     """HAT's squeeze-excite variant with ``attention.{1,3}`` conv names
@@ -217,6 +229,10 @@ class OCAB(nn.Module):
         )
         rpi = relative_position_index_oca(ws, self.overlap_ratio)
         bias = table[jnp.asarray(rpi.reshape(-1))].reshape(nq, nk, heads).transpose(2, 0, 1)
+        if not OCA_BIAS:  # timing probe (exp_ocab_train_micro.py)
+            bias = jnp.zeros_like(bias)
+        elif not OCA_BIAS_GRAD:  # timing probe
+            bias = jax.lax.stop_gradient(bias)
 
         bw = q_windows.shape[0]
         qh = q_windows.reshape(bw, nq, heads, d).transpose(0, 2, 1, 3) * (d**-0.5)
@@ -286,7 +302,7 @@ class RHAG(nn.Module):
         # VJP (ops/oca_vjp.py) when the layout fits; remat the block anyway —
         # its gather intermediates (B, nH, owin, Wp, 2C) are still the
         # largest non-kernel residuals in the group.
-        ocab_cls = nn.remat(OCAB, static_argnums=(2,)) if self.fused_train else OCAB
+        ocab_cls = nn.remat(OCAB, static_argnums=(2,)) if (self.fused_train and OCAB_REMAT) else OCAB
         res = ocab_cls(
             dim=self.dim,
             num_heads=self.num_heads,
