@@ -37,6 +37,7 @@ def main() -> None:
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--fused", action="store_true", help="ablate the enable_fused(True) serving path")
+    p.add_argument("--variants", nargs="*", default=None, help="substring filter on variant names")
     args = p.parse_args()
 
     h = w = args.size
@@ -77,10 +78,15 @@ def main() -> None:
             out[(mx._Attention, "__call__")] = lambda self, t: t
         if "ff" in ab:
             out[(mx._FeedForward, "__call__")] = lambda self, t: t
+        if "bias" in ab:
+            # trace-time knob in the model (flax compact __call__ cannot be
+            # monkeypatched with a param-creating function — wrong scope)
+            out[(mx, "ABLATE_BIAS")] = True
         return out
 
     variants = [
         ("full", frozenset()),
+        ("no rel-pos bias (gather+add)", frozenset({"bias"})),
         ("no attn core (dots kept)", frozenset({"attn_core"})),
         ("no attention (qkv+core+proj)", frozenset({"attn"})),
         ("no feed-forward", frozenset({"ff"})),
@@ -90,6 +96,7 @@ def main() -> None:
         ("stem+HFFB+tail only", frozenset({"mbconv", "pair"})),
     ]
     originals = {
+        (mx, "ABLATE_BIAS"): False,
         (wa, "window_attention_pallas"): orig_wa,
         (mx, "attention_core"): orig_attn_core,
         (mx.MBConv, "__call__"): orig_mbconv,
@@ -100,6 +107,8 @@ def main() -> None:
     }
 
     for name, ab in variants:
+        if args.variants and not any(s in name for s in args.variants):
+            continue
         pt = patches(ab)
         for key, fn in pt.items():
             setattr(key[0], key[1], fn)

@@ -36,6 +36,11 @@ from studiosr_tpu.ops.windows import relative_position_index
 
 __all__ = ["MaxSR", "MaxSRModule"]
 
+# Timing-only trace knob (scripts/exp_maxsr_ablate.py): True drops the static
+# rel-pos bias gather+add entirely (wrong math) — bounds what a load-time
+# pre-gathered bias table could save per forward. Re-jit after flipping.
+ABLATE_BIAS = False
+
 
 class SqueezeExcitation(nn.Module):
     """Mean-pool gate with two bias-free Dense layers (``maxsr.py:58-73``)."""
@@ -150,8 +155,9 @@ class _Attention(nn.Module):
         bias = None
         if self.static:
             table = nn.Embed((2 * self.window_size - 1) ** 2, heads, name="rel_pos_bias")
-            rpi = relative_position_index(self.window_size)
-            bias = table(jnp.asarray(rpi)).transpose(2, 0, 1)
+            if not ABLATE_BIAS:
+                rpi = relative_position_index(self.window_size)
+                bias = table(jnp.asarray(rpi)).transpose(2, 0, 1)
 
         out = None
         if self.fused:
