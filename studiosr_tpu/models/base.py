@@ -194,10 +194,64 @@ class Model(metaclass=_ModelMeta):
             return self._forward(variables, x, prep=prep)
         return self._forward(variables, x)
 
-    def sharded_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def needs_manual_spmd(self, mesh) -> bool:
+        """True when forwards over ``mesh`` must run under ``jax.shard_map``
+        (manual SPMD) instead of GSPMD automatic partitioning: Mosaic
+        (Pallas TPU) kernels cannot be automatically partitioned — jit
+        raises ``NotImplementedError`` at lowering on any >1-device mesh
+        (jax ``tpu_custom_call.py``; CPU test meshes never see it because
+        the kernels run in interpret mode there)."""
+        if mesh is None or not getattr(self, "_fused", False):
+            return False
+        import numpy as np
+
+        return int(np.prod(list(mesh.shape.values()))) > 1
+
+    def manual_forward_uint8(self, x: jnp.ndarray, mesh) -> jax.Array:
+        """uint8 batch forward under ``jax.shard_map`` over ``mesh`` (batch
+        axis sharded over all mesh axes) — the multi-chip form of the FUSED
+        serving path (see :meth:`needs_manual_spmd`). Each shard runs the
+        full single-chip fused path, so the per-image fused tails ENGAGE
+        per shard (the GSPMD path had to decline them to keep the
+        device-sharded batch parallel, :meth:`_forward_sharded`)."""
+        from jax.sharding import PartitionSpec as P
+
+        cache = getattr(self, "_manual_u8_cache", None)
+        if cache is None or cache[0] is not self._jit_forward or cache[1] is not mesh:
+            axes = tuple(mesh.axis_names)
+            fn = jax.shard_map(
+                lambda v, b, p: self._forward_uint8(v, b, sharded=False, prep=p),
+                mesh=mesh,
+                in_specs=(P(), P(axes), P()),
+                out_specs=P(axes),
+                check_vma=False,
+            )
+            self._manual_u8_cache = (self._jit_forward, mesh, jax.jit(fn))
+        return self._manual_u8_cache[2](self.variables, x, self.serving_prep())
+
+    def sharded_forward(self, x: jnp.ndarray, mesh=None) -> jnp.ndarray:
         """Jitted :meth:`_forward_sharded`, cached per serving
         configuration (invalidated whenever ``_jit_forward`` is rebuilt —
-        ``enable_fused``/``astype``/``set_matmul_precision``)."""
+        ``enable_fused``/``astype``/``set_matmul_precision``).
+
+        Pass ``mesh`` when the batch is device-sharded AND the fused path
+        is enabled: that combination must run under manual SPMD
+        (:meth:`needs_manual_spmd`)."""
+        if self.needs_manual_spmd(mesh):
+            from jax.sharding import PartitionSpec as P
+
+            cache = getattr(self, "_manual_fwd_cache", None)
+            if cache is None or cache[0] is not self._jit_forward or cache[1] is not mesh:
+                axes = tuple(mesh.axis_names)
+                fn = jax.shard_map(
+                    lambda v, b, p: self._forward(v, b, **({} if p is None else {"prep": p})),
+                    mesh=mesh,
+                    in_specs=(P(), P(axes), P()),
+                    out_specs=P(axes),
+                    check_vma=False,
+                )
+                self._manual_fwd_cache = (self._jit_forward, mesh, jax.jit(fn))
+            return self._manual_fwd_cache[2](self.variables, x, self.serving_prep())
         cache = getattr(self, "_sharded_fwd_cache", None)
         if cache is None or cache[0] is not self._jit_forward:
             self._sharded_fwd_cache = (self._jit_forward, jax.jit(self._forward_sharded))

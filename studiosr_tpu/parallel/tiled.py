@@ -161,7 +161,14 @@ def tiled_inference(
             # sharded=True: no per-image tail lax.map (it would serialize
             # the device-sharded batch); tails take the batch-parallel XLA
             # path, block kernels ride the grid batch dim as usual.
-        sr_dev = model.forward_uint8(x, sharded=mesh is not None)
+        if model.needs_manual_spmd(mesh):
+            # Fused serving on a >1-device mesh MUST go through shard_map:
+            # Mosaic kernels cannot be GSPMD-auto-partitioned (base.py
+            # needs_manual_spmd). Per-shard the full fused path engages,
+            # tails included.
+            sr_dev = model.manual_forward_uint8(x, mesh)
+        else:
+            sr_dev = model.forward_uint8(x, sharded=mesh is not None)
         try:
             sr_dev.copy_to_host_async()
         except (AttributeError, NotImplementedError):  # backend-optional
@@ -213,6 +220,21 @@ def _device_tiled(
             from studiosr_tpu.parallel.mesh import data_sharding
 
             batch_sh = data_sharding(mesh, 4)
+        manual = model.needs_manual_spmd(mesh)
+        if manual:
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            # Fused serving on a >1-device mesh must run under shard_map
+            # (Mosaic kernels cannot be GSPMD-auto-partitioned — base.py
+            # needs_manual_spmd); per-shard the full fused path engages.
+            smap = jax.shard_map(
+                lambda v, b, p: model._forward_uint8(v, b, sharded=False, prep=p),
+                mesh=mesh,
+                in_specs=(P(), P(axes), P()),
+                out_specs=P(axes),
+                check_vma=False,
+            )
 
         def run(variables, img, prep=None):
             tiles = [lax.slice(img, (y, x, 0), (y + tile, x + tile, c)) for y, x in coords_t]
@@ -220,6 +242,8 @@ def _device_tiled(
             stack = jnp.stack(tiles).reshape(n_b, batch, tile, tile, c)
 
             def fwd(b):
+                if manual:
+                    return smap(variables, b, prep)
                 if mesh is not None:
                     b = lax.with_sharding_constraint(b, batch_sh)
                 return model._forward_uint8(variables, b, sharded=mesh is not None, prep=prep)

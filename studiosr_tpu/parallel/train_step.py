@@ -88,6 +88,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     chain: int = 0,
     chain_batches: bool = False,
+    manual: bool = None,
 ):
     """Build ``(state, lq, gt, rng) -> (state, loss)`` jitted over ``mesh``.
 
@@ -106,11 +107,43 @@ def make_train_step(
     ``shard_batch(..., axis=1)``), ``rngs`` stacks k per-step keys, and
     ``losses`` has shape (k,). Step i consumes batch i with key i — the
     exact sequence k separate calls would run, in one dispatch.
+
+    ``manual``: run the step under ``jax.shard_map`` (manual SPMD) instead
+    of GSPMD automatic partitioning. REQUIRED for fused-training modules on
+    a >1-device mesh: Mosaic (Pallas TPU) custom calls cannot be
+    automatically partitioned — jit raises ``NotImplementedError: Mosaic
+    kernels cannot be automatically partitioned`` at lowering on real
+    multi-chip hardware (jax ``tpu_custom_call.py``; the virtual CPU test
+    mesh never sees this because CPU kernels run in interpret mode).
+    ``None`` (default) auto-selects: manual when the mesh has >1 device and
+    the module was built with ``fused_train=True``. Under manual SPMD each
+    device computes its local batch shard through the Pallas kernels,
+    gradients/loss are ``pmean``-ed over all mesh axes (XLA lowers the
+    multi-axis pmean hierarchically on a ("dcn","data") mesh), and the
+    dropout rng is folded with the device index so per-shard masks differ.
+    BatchNorm models: batch statistics become per-shard (normalization over
+    the local batch, running stats averaged across devices) — standard
+    DDP-without-SyncBN semantics, unlike the automatic path's exact
+    global-batch stats; of the fused-training families only MaxSR carries
+    BatchNorm.
     """
     mesh = mesh if mesh is not None else get_mesh()
+    if manual is None:
+        import numpy as np
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        manual = n_dev > 1 and bool(getattr(module, "fused_train", False))
+    axis_names = tuple(mesh.axis_names)
     has_bn = None  # resolved at first trace from state.batch_stats
 
     def loss_and_updates(params, batch_stats, lq, gt, rng):
+        if manual:
+            # Distinct per-shard dropout/droppath masks: fold the linear
+            # device index into the (replicated) step key.
+            idx = jnp.int32(0)
+            for name in axis_names:
+                idx = idx * mesh.shape[name] + jax.lax.axis_index(name)
+            rng = jax.random.fold_in(rng, idx)
         compute_params = params
         # uint8 batches normalize on device (the loader's host-side
         # astype(float32)/255 math to float rounding — XLA folds /255 into a
@@ -142,6 +175,12 @@ def make_train_step(
         grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
         (loss, new_stats), grads = grad_fn(state.params, state.batch_stats, lq, gt, rng)
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        if manual:
+            # The cross-device gradient sync GSPMD would otherwise insert.
+            grads = jax.lax.pmean(grads, axis_names)
+            loss = jax.lax.pmean(loss, axis_names)
+            if new_stats:
+                new_stats = jax.lax.pmean(new_stats, axis_names)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
@@ -188,6 +227,22 @@ def make_train_step(
         outer_fn = chained_fn
     else:
         outer_fn = step_fn
+
+    if manual:
+        from jax.sharding import PartitionSpec as P
+
+        batch_spec = P(None, axis_names) if (chain and chain_batches) else P(axis_names)
+        sharded = jax.shard_map(
+            outer_fn,
+            mesh=mesh,
+            in_specs=(P(), batch_spec, batch_spec, P()),
+            out_specs=(P(), P()),
+            # pmean makes state/loss device-invariant, but optax chains
+            # (MultiSteps counters, schedule conds) defeat the automatic
+            # variance checker.
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
     jitted = jax.jit(
         outer_fn,

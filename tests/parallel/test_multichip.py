@@ -286,12 +286,14 @@ def test_tiled_inference_sharded_fused_swinir():
     assert compute_psnr(tiled, whole) > 40.0
 
 
-def test_sharded_tiled_tails_stay_batch_parallel():
-    """Under a device-sharded tile batch the fused tails must DECLINE
-    (batched_map=False via Model.sharded_forward): their per-image lax.map
-    would serialize the batch across chips where the XLA tail runs
-    batch-parallel. Single-chip tiled serving still engages the fused tail.
-    Output equivalence: the tail math is identical either way."""
+def test_sharded_tiled_fused_runs_manual_spmd():
+    """Fused serving over a >1-device mesh must route through shard_map
+    (Model.needs_manual_spmd: Mosaic kernels cannot be GSPMD-auto-
+    partitioned — GSPMD jit raises NotImplementedError at lowering on real
+    multi-chip hardware). Per shard the FULL single-chip fused path runs,
+    so the per-image fused tails ENGAGE (the old GSPMD path had to decline
+    them to keep the device-sharded batch parallel); outputs must match
+    single-chip tiled serving."""
     from studiosr_tpu.models import SwinIR
     from studiosr_tpu.ops.pallas import engagement
     from studiosr_tpu.parallel import get_mesh
@@ -301,17 +303,134 @@ def test_sharded_tiled_tails_stay_batch_parallel():
         scale=4, embed_dim=16, depths=[1], num_heads=[2], window_size=8, fast_init=True
     )
     model.enable_fused(True)
+    assert model.needs_manual_spmd(get_mesh()) and not model.needs_manual_spmd(None)
     image = np.random.default_rng(3).integers(0, 256, (48, 64, 3), dtype=np.uint8)
 
     engagement.reset()
     sharded = tiled_inference(model, image, tile=24, tile_overlap=8, tile_batch=8, mesh=get_mesh())
     rec = engagement.counters().get("fused_upsample_x4", {})
-    assert rec.get("fallback", 0) >= 1 and "batched_map disabled" in rec.get("reason", "")
+    assert rec.get("engaged", 0) >= 1 and rec.get("fallback", 0) == 0
+
+    # The host-loop mesh path (manual_forward_uint8) is a separate branch.
+    sharded_host = tiled_inference(
+        model, image, tile=24, tile_overlap=8, tile_batch=8, mesh=get_mesh(), device_loop=False
+    )
 
     engagement.reset()
     single = tiled_inference(model, image, tile=24, tile_overlap=8, tile_batch=8)
     rec = engagement.counters().get("fused_upsample_x4", {})
     assert rec.get("engaged", 0) >= 1
 
-    assert sharded.shape == single.shape == (192, 256, 3)
+    assert sharded.shape == sharded_host.shape == single.shape == (192, 256, 3)
     assert np.abs(sharded.astype(int) - single.astype(int)).max() <= 1
+    np.testing.assert_array_equal(sharded_host, sharded)
+
+    # The GSPMD sharded-batch contract (forward_uint8 sharded=True via
+    # Model._forward_sharded) still declines the per-image tail lax.map —
+    # it would serialize a device-sharded batch. Only non-fused models
+    # reach it from tiled_inference now, but the contract stays pinned.
+    import jax.numpy as jnp
+
+    engagement.reset()
+    batch = np.random.default_rng(4).integers(0, 256, (4, 24, 24, 3), dtype=np.uint8)
+    out_decl = model.forward_uint8(jnp.asarray(batch), sharded=True)
+    rec = engagement.counters().get("fused_upsample_x4", {})
+    assert rec.get("fallback", 0) >= 1 and "batched_map disabled" in rec.get("reason", "")
+    assert np.asarray(out_decl).shape == (4, 96, 96, 3)
+
+
+def test_manual_shard_map_step_matches_automatic():
+    """Fused-training modules must run under jax.shard_map on multi-device
+    meshes: Mosaic (Pallas TPU) kernels cannot be GSPMD-auto-partitioned —
+    jit raises NotImplementedError at lowering on real multi-chip hardware
+    (jax tpu_custom_call.py; the CPU test mesh never sees it because the
+    kernels run in interpret mode there). The manual step (per-shard
+    compute + pmean gradient sync) must reproduce the automatic GSPMD
+    update exactly, on both the 1-D and the 2-D multislice mesh."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models.swinir import SwinIRModule
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.parallel.mesh import get_multislice_mesh
+    from studiosr_tpu.utils.losses import l1_loss
+
+    module = SwinIRModule(
+        scale=2,
+        embed_dim=16,
+        depths=(2,),
+        num_heads=(2,),
+        window_size=8,
+        mlp_ratio=2.0,
+        drop_path_rate=0.0,
+        upsampler="pixelshuffledirect",
+        fused_train=True,
+    )
+    rng = np.random.default_rng(11)
+    lq = jnp.asarray(rng.random((8, 16, 16, 3), np.float32))
+    gt = jnp.asarray(rng.random((8, 32, 32, 3), np.float32))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32))
+    # SGD: the parameter delta is exactly the synced gradient (see
+    # test_dp_matches_single_device for why not Adam).
+    tx = optax.sgd(1e-2)
+    key = jax.random.PRNGKey(3)
+
+    results = []
+    for mesh, manual in (
+        (get_mesh(jax.devices()[:8]), False),
+        (get_mesh(jax.devices()[:8]), True),  # auto-resolution also picks True here
+        (get_multislice_mesh(2, jax.devices()[:8]), True),  # 2-D ("dcn","data") pmean
+    ):
+        state = prepare_state(variables, tx, mesh)
+        step = make_train_step(module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False, manual=manual)
+        b_lq, b_gt = shard_batch((lq, gt), mesh)
+        new_state, loss = step(state, b_lq, b_gt, key)
+        results.append((float(loss), jax.device_get(new_state.params)))
+
+    (l_auto, p_auto) = results[0]
+    for l_man, p_man in results[1:]:
+        assert abs(l_auto - l_man) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(p_auto), jax.tree_util.tree_leaves(p_man)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_manual_step_batchnorm_matches_on_identical_shards():
+    """Manual SPMD with a BatchNorm model uses per-shard normalization with
+    pmean-ed running stats (DDP-without-SyncBN semantics — documented in
+    make_train_step), so it does NOT generally equal the automatic path's
+    exact global-batch stats. With a batch of 8 IDENTICAL samples the
+    per-shard reductions equal the global ones, so the two paths must agree
+    exactly — pinning the shard_map specs / pmean wiring for the
+    batch_stats collection."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models import SRResNet
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = SRResNet.build(scale=2, channels=8, num_rcb=1)
+    tx = optax.sgd(1e-2)
+    rng = np.random.default_rng(5)
+    lq = jnp.asarray(np.repeat(rng.random((1, 8, 8, 3), np.float32), 8, axis=0))
+    gt = jnp.asarray(np.repeat(rng.random((1, 16, 16, 3), np.float32), 8, axis=0))
+    key = jax.random.PRNGKey(1)
+
+    results = []
+    for manual in (False, True):
+        mesh = get_mesh(jax.devices()[:8])
+        state = prepare_state(model.variables, tx, mesh)
+        step = make_train_step(model.module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False, manual=manual)
+        b_lq, b_gt = shard_batch((lq, gt), mesh)
+        new_state, loss = step(state, b_lq, b_gt, key)
+        assert np.isfinite(float(loss))
+        results.append((float(loss), jax.device_get(new_state.params), jax.device_get(new_state.batch_stats)))
+
+    (l_a, p_a, s_a), (l_m, p_m, s_m) = results
+    assert abs(l_a - l_m) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
