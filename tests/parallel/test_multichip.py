@@ -434,3 +434,90 @@ def test_manual_step_batchnorm_matches_on_identical_shards():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_m)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_manual_step_maxsr_fused_with_batchnorm():
+    """MaxSR fused_train is the hardest manual-SPMD combination: custom-VJP
+    Pallas blocks AND BatchNorm AND dropout rngs in one module. With
+    identical shards (see test_manual_step_batchnorm_matches_on_identical_
+    shards) and dropout disabled the manual step must equal the automatic
+    one exactly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models.maxsr import MaxSRModule
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    module = MaxSRModule(
+        scale=2, dim=32, dim_head=8, depth=(1, 1), window_size=4, dropout=0.0,
+        adaptive=False, fused_train=True,
+    )
+    rng = np.random.default_rng(7)
+    lq = jnp.asarray(np.repeat(rng.random((1, 16, 16, 3), np.float32), 8, axis=0))
+    gt = jnp.asarray(np.repeat(rng.random((1, 32, 32, 3), np.float32), 8, axis=0))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32), train=True)
+    tx = optax.sgd(1e-2)
+    key = jax.random.PRNGKey(2)
+
+    results = []
+    for manual in (False, True):
+        mesh = get_mesh(jax.devices()[:8])
+        state = prepare_state(variables, tx, mesh)
+        step = make_train_step(module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False, manual=manual)
+        b_lq, b_gt = shard_batch((lq, gt), mesh)
+        new_state, loss = step(state, b_lq, b_gt, key)
+        assert np.isfinite(float(loss))
+        results.append((float(loss), jax.device_get(new_state.params), jax.device_get(new_state.batch_stats)))
+
+    (l_a, p_a, s_a), (l_m, p_m, s_m) = results
+    assert abs(l_a - l_m) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_manual_chained_batches_matches_sequential_with_donate():
+    """The production Trainer path on a pod: manual SPMD + donated state +
+    steps_per_dispatch (chain_batches — batches stacked on axis 0, sharded
+    on axis 1 under P(None, axes)). k=2 in one dispatch must equal two
+    sequential manual steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from studiosr_tpu.models.swinir import SwinIRModule
+    from studiosr_tpu.parallel import get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    module = SwinIRModule(
+        scale=2, embed_dim=16, depths=(2,), num_heads=(2,), window_size=8,
+        mlp_ratio=2.0, drop_path_rate=0.0, upsampler="pixelshuffledirect",
+        fused_train=True,
+    )
+    rng = np.random.default_rng(13)
+    lqs = jnp.asarray(rng.random((2, 8, 16, 16, 3), np.float32))
+    gts = jnp.asarray(rng.random((2, 8, 32, 32, 3), np.float32))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32))
+    tx = optax.sgd(1e-2)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    mesh = get_mesh(jax.devices()[:8])
+
+    step = make_train_step(module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=False, manual=True)
+    state = prepare_state(variables, tx, mesh)
+    for i in range(2):
+        b_lq, b_gt = shard_batch((lqs[i], gts[i]), mesh)
+        state, loss_seq = step(state, b_lq, b_gt, keys[i])
+
+    chained = make_train_step(
+        module, tx, l1_loss, bfloat16=False, mesh=mesh, donate=True, manual=True, chain=2, chain_batches=True
+    )
+    b_lqs, b_gts = shard_batch((lqs, gts), mesh, axis=1)
+    state_c, losses = chained(prepare_state(variables, tx, mesh), b_lqs, b_gts, jnp.stack(keys))
+
+    np.testing.assert_allclose(float(loss_seq), float(losses[-1]), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_c.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
