@@ -217,7 +217,7 @@ class Model(metaclass=_ModelMeta):
         from jax.sharding import PartitionSpec as P
 
         cache = getattr(self, "_manual_u8_cache", None)
-        if cache is None or cache[0] is not self._jit_forward or cache[1] is not mesh:
+        if cache is None or cache[0] is not self._jit_forward or cache[1] != mesh:
             axes = tuple(mesh.axis_names)
             fn = jax.shard_map(
                 lambda v, b, p: self._forward_uint8(v, b, sharded=False, prep=p),
@@ -241,7 +241,7 @@ class Model(metaclass=_ModelMeta):
             from jax.sharding import PartitionSpec as P
 
             cache = getattr(self, "_manual_fwd_cache", None)
-            if cache is None or cache[0] is not self._jit_forward or cache[1] is not mesh:
+            if cache is None or cache[0] is not self._jit_forward or cache[1] != mesh:
                 axes = tuple(mesh.axis_names)
                 fn = jax.shard_map(
                     lambda v, b, p: self._forward(v, b, **({} if p is None else {"prep": p})),
