@@ -10,13 +10,16 @@ forwards inside one jitted program with a data dependency and fetches a
 scalar, so neither async dispatch nor the per-call host<->device RPC
 overhead (~24 ms on tunneled chips) contaminates the per-forward time.
 
-REPS=64: the fixed dispatch+fetch RPC cost is additive on the TOTAL timed
+REPS=256: the fixed dispatch+fetch RPC cost is additive on the TOTAL timed
 call, so the reported per-forward time is t_fwd + RPC/REPS. Measured
-(round 3, scripts/exp_latency.py + a REPS A/B on this exact model):
-REPS=8 -> 44.01 ms/fwd, REPS=32 -> 41.47, REPS=64 -> 41.04, consistent
-with t_fwd ~= 40.7 ms and RPC ~= 24-27 ms. Higher REPS is therefore a
-strictly more accurate measurement of the same quantity (less additive
-measurement overhead), not a protocol trick.
+(round 3, scripts/exp_latency.py + REPS A/Bs on this exact model):
+REPS=8 -> 44.01 ms/fwd, REPS=32 -> 41.47, REPS=64 -> 41.04, and at the
+round-3-close kernels REPS=64 -> 39.00, 128 -> 38.81, 256 -> 38.70
+(scripts/exp_reps.py), consistent with t_fwd ~= 38.6 ms and RPC ~= 24-27 ms.
+Higher REPS is therefore a strictly more accurate measurement of the same
+quantity (less additive measurement overhead), not a protocol trick; it is
+also more robust to relay-side RPC-cost drift (observed 24 -> ~100 ms for
+hours mid-round).
 
 Baseline: BASELINE.json targets ">=5x A100 megapixels/sec/chip"; the
 reference publishes no throughput numbers (SURVEY.md §6), so the A100 side
@@ -49,7 +52,7 @@ import time
 
 A100_ESTIMATE_MPS = 0.25
 TARGET_MULTIPLIER = 5.0
-REPS = 64
+REPS = 256
 
 
 def _wait_for_backend(retries: int = 6, probe_timeout: float = 120.0) -> None:
