@@ -33,7 +33,16 @@ def main() -> None:
     mesh = get_mesh(jax.devices()[:1])
 
     # --- fused training step under shard_map (compiled Pallas backward) ---
-    model = SwinIR.build(scale=2, embed_dim=16, depths=[2], num_heads=[2], window_size=8, fast_init=True)
+    # REAL init, not fast_init: zero params make the forward a constant and
+    # zero the kernels' gradient contributions, so parity would be vacuous
+    # (a shard_map'd kernel computing garbage would still "pass").
+    # drop_path_rate=0: the manual step folds the device index into the rng
+    # (train_step.py) so stochastic draws legitimately differ from the
+    # automatic path's — deterministic steps are the comparable ones
+    # (measured on-chip: with DropPath active, loss 0.54821 vs 0.55017).
+    model = SwinIR.build(
+        scale=2, embed_dim=16, depths=[2], num_heads=[2], window_size=8, drop_path_rate=0.0
+    )
     fused_module = model.module.clone(fused_train=True)
     tx = optax.sgd(1e-2)
     rng = np.random.default_rng(0)

@@ -201,11 +201,36 @@ class Model(metaclass=_ModelMeta):
         raises ``NotImplementedError`` at lowering on any >1-device mesh
         (jax ``tpu_custom_call.py``; CPU test meshes never see it because
         the kernels run in interpret mode there)."""
-        if mesh is None or not getattr(self, "_fused", False):
-            return False
-        import numpy as np
+        return mesh is not None and getattr(self, "_fused", False) and mesh.size > 1
 
-        return int(np.prod(list(mesh.shape.values()))) > 1
+    @staticmethod
+    def shard_map_batch(fn, mesh):
+        """``jax.shard_map`` a ``fn(variables, batch, prep)`` with the batch
+        axis sharded over ALL mesh axes and params/prep replicated — the one
+        manual-SPMD wrapping every mesh-serving entry point shares
+        (:meth:`manual_forward_uint8`, :meth:`sharded_forward`, and the
+        device-loop tiled path in ``parallel/tiled.py``). Returned unjitted
+        so it can embed in a larger program (the tiled device loop)."""
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        return jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P()),
+            out_specs=P(axes),
+            check_vma=False,
+        )
+
+    def _manual_shard_map(self, cache_attr: str, fn, mesh):
+        """Jitted :meth:`shard_map_batch`, cached per serving configuration
+        (``_jit_forward`` identity — rebuilt by ``enable_fused``/``half``)
+        and mesh (by equality: a fresh equal ``get_mesh()`` must not
+        retrace)."""
+        cache = getattr(self, cache_attr, None)
+        if cache is None or cache[0] is not self._jit_forward or cache[1] != mesh:
+            setattr(self, cache_attr, (self._jit_forward, mesh, jax.jit(self.shard_map_batch(fn, mesh))))
+        return getattr(self, cache_attr)[2]
 
     def manual_forward_uint8(self, x: jnp.ndarray, mesh) -> jax.Array:
         """uint8 batch forward under ``jax.shard_map`` over ``mesh`` (batch
@@ -214,20 +239,12 @@ class Model(metaclass=_ModelMeta):
         full single-chip fused path, so the per-image fused tails ENGAGE
         per shard (the GSPMD path had to decline them to keep the
         device-sharded batch parallel, :meth:`_forward_sharded`)."""
-        from jax.sharding import PartitionSpec as P
-
-        cache = getattr(self, "_manual_u8_cache", None)
-        if cache is None or cache[0] is not self._jit_forward or cache[1] != mesh:
-            axes = tuple(mesh.axis_names)
-            fn = jax.shard_map(
-                lambda v, b, p: self._forward_uint8(v, b, sharded=False, prep=p),
-                mesh=mesh,
-                in_specs=(P(), P(axes), P()),
-                out_specs=P(axes),
-                check_vma=False,
-            )
-            self._manual_u8_cache = (self._jit_forward, mesh, jax.jit(fn))
-        return self._manual_u8_cache[2](self.variables, x, self.serving_prep())
+        fn = self._manual_shard_map(
+            "_manual_u8_cache",
+            lambda v, b, p: self._forward_uint8(v, b, sharded=False, prep=p),
+            mesh,
+        )
+        return fn(self.variables, x, self.serving_prep())
 
     def sharded_forward(self, x: jnp.ndarray, mesh=None) -> jnp.ndarray:
         """Jitted :meth:`_forward_sharded`, cached per serving
@@ -238,20 +255,12 @@ class Model(metaclass=_ModelMeta):
         is enabled: that combination must run under manual SPMD
         (:meth:`needs_manual_spmd`)."""
         if self.needs_manual_spmd(mesh):
-            from jax.sharding import PartitionSpec as P
-
-            cache = getattr(self, "_manual_fwd_cache", None)
-            if cache is None or cache[0] is not self._jit_forward or cache[1] != mesh:
-                axes = tuple(mesh.axis_names)
-                fn = jax.shard_map(
-                    lambda v, b, p: self._forward(v, b, **({} if p is None else {"prep": p})),
-                    mesh=mesh,
-                    in_specs=(P(), P(axes), P()),
-                    out_specs=P(axes),
-                    check_vma=False,
-                )
-                self._manual_fwd_cache = (self._jit_forward, mesh, jax.jit(fn))
-            return self._manual_fwd_cache[2](self.variables, x, self.serving_prep())
+            fn = self._manual_shard_map(
+                "_manual_fwd_cache",
+                lambda v, b, p: self._forward(v, b, **({} if p is None else {"prep": p})),
+                mesh,
+            )
+            return fn(self.variables, x, self.serving_prep())
         cache = getattr(self, "_sharded_fwd_cache", None)
         if cache is None or cache[0] is not self._jit_forward:
             self._sharded_fwd_cache = (self._jit_forward, jax.jit(self._forward_sharded))

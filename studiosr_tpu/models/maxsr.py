@@ -501,6 +501,10 @@ class MaxSR(Model):
         kernel (scores stay in VMEM; the XLA path materializes f32 score
         tensors in HBM). Parameters are unchanged — this is a serving flag."""
         self.module = self.module.clone(fused=enabled)
+        # The base-class manual-SPMD contract keys on _fused: a fused MaxSR
+        # on a >1-device mesh must serve under shard_map like SwinIR/HAT
+        # (Mosaic kernels cannot be GSPMD-partitioned, base.needs_manual_spmd).
+        self._fused = enabled
         self._jit_forward = jax.jit(self._forward)
         return self
 

@@ -195,8 +195,10 @@ def _device_tiled(
 
     With a ``mesh``, each ``lax.map`` batch is sharded over the data axis —
     one image spatially decomposed across chips (SP over ICI) in a single
-    dispatch; the fused tails decline per the sharded-forward contract
-    (``Model.sharded_forward``) and reassembly runs replicated.
+    dispatch. Fused models run the batch under ``shard_map`` (manual SPMD —
+    Mosaic kernels cannot be GSPMD-partitioned) where the full fused path
+    INCLUDING the per-image tails engages per shard; unfused models take
+    the GSPMD path with a sharding constraint. Reassembly runs replicated.
 
     Recompiles per (padded shape, tile, overlap, batch) — reused across a
     fixed-shape stream. The cache also keys on ``model._jit_forward`` so
@@ -222,18 +224,11 @@ def _device_tiled(
             batch_sh = data_sharding(mesh, 4)
         manual = model.needs_manual_spmd(mesh)
         if manual:
-            from jax.sharding import PartitionSpec as P
-
-            axes = tuple(mesh.axis_names)
             # Fused serving on a >1-device mesh must run under shard_map
             # (Mosaic kernels cannot be GSPMD-auto-partitioned — base.py
             # needs_manual_spmd); per-shard the full fused path engages.
-            smap = jax.shard_map(
-                lambda v, b, p: model._forward_uint8(v, b, sharded=False, prep=p),
-                mesh=mesh,
-                in_specs=(P(), P(axes), P()),
-                out_specs=P(axes),
-                check_vma=False,
+            smap = type(model).shard_map_batch(
+                lambda v, b, p: model._forward_uint8(v, b, sharded=False, prep=p), mesh
             )
 
         def run(variables, img, prep=None):

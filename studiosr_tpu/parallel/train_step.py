@@ -129,10 +129,7 @@ def make_train_step(
     """
     mesh = mesh if mesh is not None else get_mesh()
     if manual is None:
-        import numpy as np
-
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        manual = n_dev > 1 and bool(getattr(module, "fused_train", False))
+        manual = mesh.size > 1 and bool(getattr(module, "fused_train", False))
     axis_names = tuple(mesh.axis_names)
     has_bn = None  # resolved at first trace from state.batch_stats
 

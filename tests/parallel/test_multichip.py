@@ -339,6 +339,55 @@ def test_sharded_tiled_fused_runs_manual_spmd():
     assert np.asarray(out_decl).shape == (4, 96, 96, 3)
 
 
+def test_every_fused_capable_model_reports_manual_spmd():
+    """EVERY model with a fused serving path must flag needs_manual_spmd on
+    a >1-device mesh once fused — a model that forgets to set _fused in
+    enable_fused silently takes the GSPMD path and crashes at lowering on a
+    real pod (the exact bug class this pins: MaxSR.enable_fused once only
+    cloned the module without setting the flag)."""
+    from studiosr_tpu.models import HAT, MaxSR, SwinFIR, SwinIR
+    from studiosr_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
+    tiny = dict(scale=2, embed_dim=16, depths=[1], num_heads=[2], window_size=8, fast_init=True)
+    models = [
+        SwinIR.build(**tiny),
+        SwinFIR.build(**tiny),
+        HAT.build(scale=2, embed_dim=30, depths=[1], num_heads=[2], window_size=8,
+                  fast_init=True),
+        MaxSR.build(scale=2, dim=32, dim_head=16, depth=(1, 1, 1, 1), adaptive=False,
+                    fast_init=True),
+    ]
+    for model in models:
+        name = type(model).__name__
+        assert not model.needs_manual_spmd(mesh), name  # unfused: GSPMD fine
+        model.enable_fused(True)
+        assert model.needs_manual_spmd(mesh), name
+        assert not model.needs_manual_spmd(None), name
+        model.enable_fused(False)
+        assert not model.needs_manual_spmd(mesh), name
+
+
+def test_maxsr_fused_mesh_serving_matches_single_chip():
+    """The fused-MaxSR mesh path end to end: manual_forward_uint8 (shard_map
+    over the 8-device mesh, batch sharded) must reproduce the single-chip
+    fused forward_uint8 exactly. Real weights — zero-init would make the
+    output constant and the parity vacuous."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models import MaxSR
+    from studiosr_tpu.parallel import get_mesh
+
+    model = MaxSR.build(scale=2, adaptive=False, dim=32, dim_head=8, depth=[1, 1], window_size=8, dropout=0.0)
+    model.enable_fused(True)
+    mesh = get_mesh()
+    assert model.needs_manual_spmd(mesh)
+    batch = np.random.default_rng(5).integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    single = np.asarray(model.forward_uint8(jnp.asarray(batch)))
+    sharded = np.asarray(model.manual_forward_uint8(jnp.asarray(batch), mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_manual_shard_map_step_matches_automatic():
     """Fused-training modules must run under jax.shard_map on multi-device
     meshes: Mosaic (Pallas TPU) kernels cannot be GSPMD-auto-partitioned —
