@@ -122,11 +122,14 @@ class PrefetchLoader:
 
         def producer() -> None:
             iteration = start_iteration
+            cached = (-1, None)  # epoch -> indices: the permutation is O(n)
             try:
                 while not stop.is_set():
                     epoch = iteration // self._epoch_len
                     pos = iteration % self._epoch_len
-                    indices = self._epoch_indices(epoch)
+                    if cached[0] != epoch:
+                        cached = (epoch, self._epoch_indices(epoch))
+                    indices = cached[1]
                     batch = indices[pos * self.batch_size : (pos + 1) * self.batch_size]
                     if len(batch) < self.batch_size:
                         # Dataset shard smaller than one batch: wrap around so
@@ -143,7 +146,7 @@ class PrefetchLoader:
             finally:
                 pending.put(None)
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(target=producer, daemon=True, name="studiosr-data-producer")
         thread.start()
         try:
             while True:
@@ -185,7 +188,13 @@ class DataIterator:
     def set_iterations(self, iterations: int) -> None:
         if iterations != self.iterations:
             self.iterations = iterations
+            self._stream.close()  # stop the old producer + decode pool
             self._stream = self.loader.batches(iterations)
+
+    def close(self) -> None:
+        """Stop the producer thread and decode pool and drop the prefetched
+        batches (generator ``close()`` runs ``batches``' finally block)."""
+        self._stream.close()
 
 
 class DataHandler:
@@ -247,6 +256,8 @@ class DataHandler:
         self.data_iterator.set_iterations(iterations)
 
     def close(self) -> None:
-        # Thread pool and queue are daemonized; nothing to tear down (the
-        # reference destroys its NCCL process group here, handler.py:93-95).
-        pass
+        # The reference destroys its NCCL process group here
+        # (handler.py:93-95); ours stops the prefetch pipeline — without
+        # this the producer thread polls forever and ~prefetch decoded
+        # batches stay pinned after training ends.
+        self.data_iterator.close()

@@ -142,6 +142,14 @@ class Trainer:
                 "fires at the end of the chunk containing each boundary",
                 stacklevel=2,
             )
+        if self.steps_per_dispatch > 1 and max_iters % self.steps_per_dispatch:
+            warnings.warn(
+                f"max_iters={max_iters} is not a multiple of "
+                f"steps_per_dispatch={self.steps_per_dispatch}: the final "
+                f"{max_iters % self.steps_per_dispatch} step(s) compile a "
+                "second (single-step) train program at the end of the run",
+                stacklevel=2,
+            )
         self.criterion = get_loss(loss_function)
         self.ema_decay = float(ema_decay)
         self.best_psnr = 0.0
@@ -169,8 +177,28 @@ class Trainer:
             variables["batch_stats"] = self.state.batch_stats
         return variables
 
+    def _host_state(self) -> Dict[str, Any]:
+        """Host copy of the full train state, fetched ONCE per state object.
+
+        An eval boundary reads it up to five times (evaluate's model sync +
+        the best/latest saves each need params AND optimizer state) and a
+        full fetch costs seconds at relay D2H rates; the cache keys on state
+        identity, so the next train step invalidates it naturally."""
+        snap = getattr(self, "_host_state_cache", None)
+        if snap is None or snap[0] is not self.state:
+            fetched = jax.device_get(
+                dict(
+                    variables=self._state_variables(),
+                    opt_state=self.state.opt_state,
+                    ema_params=self.state.ema_params,
+                )
+            )
+            snap = (self.state, fetched)
+            self._host_state_cache = snap
+        return snap[1]
+
     def _sync_model_from_state(self) -> None:
-        self.model.variables = jax.device_get(self._state_variables())
+        self.model.variables = self._host_state()["variables"]
 
     # -- main loop ----------------------------------------------------------
 
@@ -243,7 +271,9 @@ class Trainer:
                         its.append(self.data_handler.iterations)
                         window_images += lq.shape[0]
                     batch = shard_batch((np.stack(lqs), np.stack(gts)), self.mesh, axis=1)
-                    rngs = jnp.stack([jax.random.fold_in(base_rng, it) for it in its])
+                    # One dispatch for all k keys (an eager fold_in per step
+                    # would re-add the per-dispatch RPC this chunk removes).
+                    rngs = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(jnp.asarray(its, jnp.uint32))
                     self.state, losses = step_fn(self.state, batch[0], batch[1], rngs)
                     losses_host = None
                     for j, iterations in enumerate(its):
@@ -295,12 +325,13 @@ class Trainer:
         model_path = os.path.join(self.ckpt_path, file_name + ".model.ckpt")
         train_path = os.path.join(self.ckpt_path, file_name + ".train.ckpt")
 
-        variables = jax.device_get(self._state_variables())
+        host = self._host_state()
+        variables = host["variables"]
         with open(model_path, "wb") as f:
             f.write(serialization.to_bytes(variables))
 
         train_dict = dict(
-            opt_state=jax.device_get(self.state.opt_state),
+            opt_state=host["opt_state"],
             iteration=int(self.data_handler.iterations) if hasattr(self, "data_handler") else int(self.state.step),
             step=int(self.state.step),
             best_psnr=float(self.best_psnr),
@@ -314,7 +345,7 @@ class Trainer:
             # registry templates that know nothing about EMA.
             ema_path = os.path.join(self.ckpt_path, file_name + ".ema.ckpt")
             with open(ema_path, "wb") as f:
-                f.write(serialization.to_bytes(jax.device_get(self.state.ema_params)))
+                f.write(serialization.to_bytes(host["ema_params"]))
 
         with open(os.path.join(self.ckpt_path, "params.json"), "w") as f:
             json.dump(self.model.get_model_config(), f)
@@ -329,6 +360,10 @@ class Trainer:
         train_path = os.path.join(self.ckpt_path, file_name + ".train.ckpt")
         if not (os.path.isfile(model_path) and os.path.isfile(train_path)):
             return False
+        if self.state is None:
+            # Standalone load (before run(), like the reference Trainer's):
+            # build the state skeleton the checkpoint deserializes into.
+            self.state = prepare_state(self.model.variables, self.tx, self.mesh, ema_decay=self.ema_decay)
 
         with open(model_path, "rb") as f:
             variables = serialization.from_bytes(jax.device_get(self._state_variables()), f.read())

@@ -55,11 +55,16 @@ class ViewerState:
 
     @property
     def crop_rect(self) -> Tuple[int, int, int, int]:
-        """(y0, x0, y1, x1), clamped so the box stays inside the image."""
+        """(y0, x0, y1, x1), clamped so the box stays inside the image.
+
+        The crop itself is clamped to the image first: with crop > image,
+        ``np.clip(low=0, high=negative)`` would return a NEGATIVE origin and
+        the box/zoom would silently show the wrong region."""
+        crop = min(self.crop, self.width, self.height)
         cx, cy = self.cursor
-        x0 = int(np.clip(cx - self.crop // 2, 0, self.width - self.crop))
-        y0 = int(np.clip(cy - self.crop // 2, 0, self.height - self.crop))
-        return y0, x0, y0 + self.crop, x0 + self.crop
+        x0 = int(np.clip(cx - crop // 2, 0, self.width - crop))
+        y0 = int(np.clip(cy - crop // 2, 0, self.height - crop))
+        return y0, x0, y0 + crop, x0 + crop
 
 
 def _nearest_zoom(patch: np.ndarray, size: int) -> np.ndarray:

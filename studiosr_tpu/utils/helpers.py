@@ -212,13 +212,24 @@ def get_image_extensions() -> List[str]:
 
 
 def get_image_files(root: str) -> List[str]:
-    """Recursively collect image file names under ``root``, sorted (helpers.py:99-106)."""
+    """Recursively collect image files under ``root``, sorted (helpers.py:99-106).
+
+    Returns paths RELATIVE to ``root`` (for flat directories these equal the
+    reference's bare file names): the reference's bare-name walk produces
+    names that cannot be joined back onto the root for nested directories —
+    a FileNotFoundError the first time a zip extracts with a subfolder.
+    AppleDouble junk (``__MACOSX/``, ``._*``) that rides Google-Drive zips is
+    skipped — the files match image extensions but are not decodable images.
+    """
     extensions = set(get_image_extensions())
     image_files = []
     for _root, _dirs, files in os.walk(root):
+        _dirs[:] = [d for d in _dirs if d != "__MACOSX"]
         for f in files:
+            if f.startswith("._"):
+                continue
             if os.path.splitext(f)[1].lower() in extensions:
-                image_files.append(f)
+                image_files.append(os.path.relpath(os.path.join(_root, f), root))
     return sorted(image_files)
 
 

@@ -174,8 +174,18 @@ def _to_y_jax(image):
     return image
 
 
-@partial(__import__("jax").jit, static_argnames=("y_only", "crop_border"))
-def _psnr_jax_impl(im1, im2, y_only: bool, crop_border: int):
+def _crop_to_equal_jax(im1, im2):
+    """Host-side analog of :func:`crop_img_to_equal` for device arrays:
+    shapes are concrete here, so plain slicing keeps the jitted impls
+    static-shaped (SR output can be smaller than GT when the HR image is
+    not divisible by the scale — e.g. Set14 at x4)."""
+    h = min(im1.shape[0], im2.shape[0])
+    w = min(im1.shape[1], im2.shape[1])
+    return im1[:h, :w], im2[:h, :w]
+
+
+@partial(__import__("jax").jit, static_argnames=("y_only", "crop_border", "scale255"))
+def _psnr_jax_impl(im1, im2, y_only: bool, crop_border: int, scale255: bool):
     import jax.numpy as jnp
 
     im1 = im1.astype(jnp.float32)
@@ -186,16 +196,21 @@ def _psnr_jax_impl(im1, im2, y_only: bool, crop_border: int):
     if y_only:
         im1 = _to_y_jax(im1 / 255.0)
         im2 = _to_y_jax(im2 / 255.0)
+    elif scale255:
+        # Float [0,1] inputs are scaled like the host/reference protocol
+        # (reference metrics.py:43-44).
+        im1, im2 = im1 * 255.0, im2 * 255.0
     error = jnp.mean((im1 - im2) ** 2)
     return 20.0 * jnp.log10(255.0 / jnp.sqrt(error))
 
 
 def compute_psnr_jax(im1, im2, y_only: bool = False, crop_border: int = 0):
-    """On-device PSNR over uint8 HWC images (returns a device scalar).
-
-    Non-y inputs are treated as 0-255 intensities (uint8 benchmark images).
-    """
-    return _psnr_jax_impl(im1, im2, y_only, crop_border)
+    """On-device PSNR (returns a device scalar), matching the host
+    :func:`compute_psnr` protocol: images cropped to a common size, uint8
+    treated as 0-255, non-y float inputs scaled by 255."""
+    im1, im2 = _crop_to_equal_jax(im1, im2)
+    scale255 = not y_only and im1.dtype != np.uint8
+    return _psnr_jax_impl(im1, im2, y_only, crop_border, scale255)
 
 
 def _ssim_maps_jax(im1, im2):
@@ -249,5 +264,11 @@ def _ssim_jax_impl(im1, im2, y_only: bool, crop_border: int):
 
 
 def compute_ssim_jax(im1, im2, y_only: bool = False, crop_border: int = 0):
-    """On-device SSIM (fp32) matching the skimage protocol to ~1e-5."""
+    """On-device SSIM (fp32) matching the skimage protocol to ~1e-5.
+
+    Like the host/reference :func:`compute_ssim`, non-y float inputs are
+    deliberately NOT rescaled (the reference feeds them to skimage with
+    ``data_range=255`` as-is, reference metrics.py:52-71) — protocol parity
+    over plausibility."""
+    im1, im2 = _crop_to_equal_jax(im1, im2)
     return _ssim_jax_impl(im1, im2, y_only, crop_border)

@@ -117,10 +117,9 @@ def test_trainer_resume(tmp_path):
     params_before = t1.model.params
 
     t2 = make()
-    t2.state = None
-    from studiosr_tpu.parallel import prepare_state
-
-    t2.state = prepare_state(t2.model.variables, t2.tx, t2.mesh)
+    # Standalone load before run() (reference Trainer supports it): load()
+    # builds its own state skeleton when none exists yet.
+    assert t2.state is None
     assert t2.load("latest")
     # Resumed params must equal the saved ones, not the fresh init.
     a = params_before["head.0"]["kernel"]

@@ -74,3 +74,13 @@ def test_diff_mode_zeroes_identical_pixels():
     assert right[5, 5, 2] > 0  # red heat where pixels differ
     diff_red = right[..., 2] * inside
     assert diff_red.sum() == right[5, 5, 2]  # nowhere else
+
+
+def test_crop_rect_larger_than_image_is_clamped():
+    """crop > image must clamp the crop to the image instead of producing a
+    negative origin (np.clip with min > max returns the max)."""
+    s = ViewerState(width=48, height=40, cursor=(24, 20), crop=64)
+    y0, x0, y1, x1 = s.crop_rect
+    assert 0 <= y0 < y1 <= s.height
+    assert 0 <= x0 < x1 <= s.width
+    assert y1 - y0 == x1 - x0 == 40  # crop clamped to min(width, height)

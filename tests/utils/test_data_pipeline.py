@@ -134,3 +134,53 @@ def test_data_handler_topology():
     handler.set_iterations(10)
     assert handler.iterations == 10
     handler.close()
+
+
+def test_iterator_close_stops_pipeline(tmp_path):
+    """DataIterator/DataHandler.close() must actually stop the producer
+    thread and decode pool (it was a no-op: the producer polled at 1 kHz
+    forever and ~prefetch decoded batches stayed pinned after training)."""
+    import threading
+    import time
+
+    from studiosr_tpu.data.handler import DataIterator
+
+    gt_dir, lq_dir = str(tmp_path / "gt"), str(tmp_path / "lq")
+    os.makedirs(gt_dir)
+    os.makedirs(lq_dir)
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        gt = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        imwrite(os.path.join(gt_dir, f"im{i}.png"), gt)
+        imwrite(os.path.join(lq_dir, f"im{i}.png"), gt[::2, ::2])
+
+    ds = PairedImageDataset(gt_dir, lq_dir, size=8, scale=2, transform=True, to_tensor=True)
+    it = DataIterator(PrefetchLoader(ds, batch_size=2, num_workers=2, seed=0))
+    it.get_batch()
+    assert any(t.name == "studiosr-data-producer" for t in threading.enumerate())
+    it.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(t.name == "studiosr-data-producer" for t in threading.enumerate()):
+        time.sleep(0.01)
+    assert not any(t.name == "studiosr-data-producer" for t in threading.enumerate())
+
+
+def test_get_image_files_nested_and_macosx(tmp_path):
+    """Recursive walk must return root-relative paths (joinable back onto
+    the root — bare names crash on nested zips) and skip AppleDouble junk."""
+    from studiosr_tpu.utils.helpers import get_image_files
+
+    root = tmp_path / "data"
+    (root / "sub").mkdir(parents=True)
+    (root / "__MACOSX" / "sub").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    imwrite(str(root / "a.png"), img)
+    imwrite(str(root / "sub" / "b.png"), img)
+    (root / "sub" / "._b.png").write_bytes(b"\x00\x05\x16\x07")  # AppleDouble fork
+    (root / "__MACOSX" / "sub" / "b.png").write_bytes(b"junk")
+
+    files = get_image_files(str(root))
+    assert files == sorted(["a.png", os.path.join("sub", "b.png")])
+    for f in files:
+        assert os.path.isfile(os.path.join(str(root), f))

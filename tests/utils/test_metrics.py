@@ -109,3 +109,31 @@ def test_jax_ssim_matches_numpy() -> None:
         want = compute_ssim(noisy, gt, y_only=y_only, crop_border=4)
         got = float(compute_ssim_jax(noisy, gt, y_only=y_only, crop_border=4))
         assert abs(got - want) < 1e-4, (y_only, got, want)
+
+
+def test_jax_metrics_crop_to_equal_like_host() -> None:
+    """SR can be smaller than GT (HR not divisible by the scale — e.g.
+    Set14 at x4): the jax paths must crop to a common size like the host
+    protocol instead of crashing on a broadcast mismatch."""
+    rng = np.random.default_rng(7)
+    gt = rng.integers(0, 256, (41, 45, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (40, 44, 3), dtype=np.uint8)
+    for y_only in (False, True):
+        want = compute_psnr(sr, gt, y_only=y_only, crop_border=4)
+        got = float(compute_psnr_jax(sr, gt, y_only=y_only, crop_border=4))
+        assert abs(got - want) < 1e-3, (y_only, got, want)
+    want = compute_ssim(sr, gt, y_only=True, crop_border=4)
+    got = float(compute_ssim_jax(sr, gt, y_only=True, crop_border=4))
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_jax_psnr_float_scaling_matches_host() -> None:
+    """Non-y float [0,1] inputs are scaled by 255 in the host/reference
+    protocol (reference metrics.py:43-44); the jax path must agree instead
+    of treating the same floats as 0-255 intensities (~48 dB apart)."""
+    rng = np.random.default_rng(8)
+    im1 = rng.random((24, 28, 3)).astype(np.float32)
+    im2 = rng.random((24, 28, 3)).astype(np.float32)
+    want = compute_psnr(im1, im2, y_only=False, crop_border=0)
+    got = float(compute_psnr_jax(im1, im2, y_only=False, crop_border=0))
+    assert abs(got - want) < 1e-3, (got, want)
