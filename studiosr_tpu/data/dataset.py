@@ -70,6 +70,10 @@ class PairedImageDataset:
         self.gt_path = gt_path
         self.lq_path = lq_path
         self.files = get_image_files(gt_path)
+        self._init_pipeline(size, scale, transform, to_tensor)
+
+    def _init_pipeline(self, size: int, scale: int, transform: bool, to_tensor: bool) -> None:
+        """The standard SR training pipeline, shared with DF2K."""
         self.size = size
         self.scale = scale
         self.transform = (
@@ -112,16 +116,41 @@ class PairedImageDataset:
 
 
 def extract_subimages(input_dir: str, output_dir: str, crop_size: int, step: int) -> None:
-    """Sliding-window sub-image extraction with edge-snapped final crops."""
+    """Sliding-window sub-image extraction with edge-snapped final crops.
+
+    Atomic: crops are written to ``<output_dir>.partial`` and the directory
+    is renamed into place only when every image succeeded — an interrupted
+    prepare (Ctrl-C, disk full) therefore re-runs instead of leaving a
+    half-built dataset that the existence checks would skip forever.
+    """
+    import shutil
+
     import cv2
     from tqdm import tqdm
 
-    os.makedirs(output_dir, exist_ok=True)
-    for f in tqdm(get_image_files(input_dir), desc=os.path.basename(output_dir)):
-        name = os.path.splitext(f)[0]
+    files = get_image_files(input_dir)
+    if not files:
+        # Loud failure beats an (atomic but) empty grid: the raw corpus is
+        # missing — e.g. a prebuilt `sub` archive without the originals.
+        raise FileNotFoundError(f"no images under {input_dir} to extract sub-images from")
+    partial_dir = output_dir.rstrip(os.sep) + ".partial"
+    if os.path.exists(partial_dir):
+        shutil.rmtree(partial_dir)  # stale leftover from an interrupted run
+    os.makedirs(partial_dir)
+    for f in tqdm(files, desc=os.path.basename(output_dir)):
+        # Nested inputs yield root-relative names: flatten the separators so
+        # the crop name stays a single path component under output_dir.
+        name = os.path.splitext(f)[0].replace(os.sep, "_").replace("/", "_")
         for tag in ("x2", "x3", "x4"):
-            name = name.replace(tag, "")
-        image = cv2.imread(os.path.join(input_dir, f))
+            # Trailing-only strip: the LR corpora suffix names as 0001x4.png;
+            # replace-anywhere (the reference's behavior, dataset.py:91-92)
+            # would also mangle stems merely containing the substring.
+            if name.endswith(tag):
+                name = name[: -len(tag)]
+        path = os.path.join(input_dir, f)
+        image = cv2.imread(path)
+        if image is None:
+            raise ValueError(f"unreadable image in dataset: {path}")
 
         h, w = image.shape[:2]
         y_range = np.arange(0, h - crop_size + 1, step)
@@ -135,10 +164,12 @@ def extract_subimages(input_dir: str, output_dir: str, crop_size: int, step: int
         for y in y_range:
             for x in x_range:
                 index += 1
-                cv2.imwrite(
-                    os.path.join(output_dir, name + f"_{index:03d}.png"),
-                    image[y : y + crop_size, x : x + crop_size],
-                )
+                out_path = os.path.join(partial_dir, name + f"_{index:03d}.png")
+                if not cv2.imwrite(out_path, image[y : y + crop_size, x : x + crop_size]):
+                    raise IOError(f"failed to write sub-image {out_path}")
+    if os.path.exists(output_dir):
+        shutil.rmtree(output_dir)  # direct re-extraction over an old grid
+    os.replace(partial_dir, output_dir)
 
 
 def prepare_dataset(dataset_dir: str, dataset_name: str, postfix: str = "") -> None:
@@ -178,8 +209,10 @@ class DIV2K(PairedImageDataset):
         if download:
             self.download(dataset_dir=dataset_dir)
         dataset_path = os.path.join(dataset_dir, f"{self.dataset_name}/sub")
-        if not os.path.exists(dataset_path):
-            self.prepare(dataset_dir=dataset_dir)
+        # Always delegate: prepare skips each COMPLETE pack individually, so
+        # a run interrupted after some packs resumes the missing ones (a
+        # top-level `sub` existence check would skip them forever).
+        self.prepare(dataset_dir=dataset_dir)
         super().__init__(
             gt_path=os.path.join(dataset_path, f"{self.dataset_name}_train_HR"),
             lq_path=os.path.join(dataset_path, f"{self.dataset_name}_train_LR_bicubic/X{scale}"),
@@ -214,8 +247,7 @@ class Flickr2K(PairedImageDataset):
         if download:
             self.download(dataset_dir=dataset_dir)
         dataset_path = os.path.join(dataset_dir, f"{self.dataset_name}/sub")
-        if not os.path.exists(dataset_path):
-            self.prepare(dataset_dir=dataset_dir)
+        self.prepare(dataset_dir=dataset_dir)  # per-pack skip; resumes partial runs
         super().__init__(
             gt_path=os.path.join(dataset_path, f"{self.dataset_name}_HR"),
             lq_path=os.path.join(dataset_path, f"{self.dataset_name}_LR_bicubic/X{scale}"),
@@ -234,8 +266,13 @@ class Flickr2K(PairedImageDataset):
         prepare_dataset(dataset_dir, cls.dataset_name)
 
 
-class DF2K:
-    """Concatenated DIV2K + Flickr2K training corpus (``dataset.py:207-277``)."""
+class DF2K(PairedImageDataset):
+    """Concatenated DIV2K + Flickr2K training corpus (``dataset.py:207-277``).
+
+    Subclasses :class:`PairedImageDataset` for the shared sample pipeline
+    (including the one-pass native crop+augment fast path) and overrides
+    only the file indexing: pairs live in two corpora, addressed by path.
+    """
 
     def __init__(
         self,
@@ -246,17 +283,13 @@ class DF2K:
         to_tensor: bool = False,
         download: bool = False,
     ):
-        self.size = size
-        self.scale = scale
         if download:
             DIV2K.download(dataset_dir=dataset_dir)
             Flickr2K.download(dataset_dir=dataset_dir)
+        DIV2K.prepare(dataset_dir=dataset_dir)  # per-pack skip; resumes partial runs
+        Flickr2K.prepare(dataset_dir=dataset_dir)
         div2k_path = os.path.join(dataset_dir, "DIV2K/sub")
         flickr2k_path = os.path.join(dataset_dir, "Flickr2K/sub")
-        if not os.path.exists(div2k_path):
-            DIV2K.prepare(dataset_dir=dataset_dir)
-        if not os.path.exists(flickr2k_path):
-            Flickr2K.prepare(dataset_dir=dataset_dir)
 
         self.file_paths: List[Tuple[str, str]] = []
         for gt_dir, lq_dir in [
@@ -265,34 +298,10 @@ class DF2K:
         ]:
             for f in get_image_files(gt_dir):
                 self.file_paths.append((os.path.join(lq_dir, f), os.path.join(gt_dir, f)))
-
-        self.transform = (
-            T.Compose(
-                [
-                    T.RandomCrop(self.size, self.scale),
-                    T.RandomHorizontalFlip(),
-                    T.RandomVerticalFlip(),
-                    T.RandomRotation90(),
-                ]
-            )
-            if transform
-            else None
-        )
-        self.to_tensor = T.ToArray() if to_tensor else None
+        self._init_pipeline(size, scale, transform, to_tensor)
 
     def __len__(self) -> int:
         return len(self.file_paths)
-
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        return self.get(idx)
-
-    def get(self, idx: int, rng: Optional[random.Random] = None) -> Tuple[np.ndarray, np.ndarray]:
-        lq, gt = self.get_image_pair(idx)
-        if self.transform is not None:
-            lq, gt = self.transform(lq, gt, rng=rng)
-        if self.to_tensor is not None:
-            lq, gt = self.to_tensor(lq, gt)
-        return lq, gt
 
     def get_image_pair(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         lq_path, gt_path = self.file_paths[idx]

@@ -34,10 +34,12 @@ def initialize(
 
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if coordinator_address is not None:
+        # `is not None`, not `or`: process_id=0 (the coordinator) is falsy
+        # and must not be displaced by a stale PROCESS_ID env var.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
-            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+            num_processes=num_processes if num_processes is not None else int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0")),
         )
         _INITIALIZED = True
 

@@ -75,15 +75,20 @@ def tiled_inference(
       measured), at the cost of one compile per padded-image shape — the
       right mode for fixed-shape streams (video frames).
     * ``False`` — host loop, one dispatch per tile batch (pipelined, uint8
-      both ways). The right mode for one-off odd-shaped images and the only
-      mode that supports ``mesh`` sharding.
-    * ``None`` (default) — device loop when there is no mesh and the tile
+      both ways). The right mode for one-off odd-shaped images and for
+      multi-host jobs. Both loops support ``mesh`` sharding (fused models
+      ride shard_map per the manual-SPMD contract).
+    * ``None`` (default) — device loop on a single process when the tile
       count is small enough that unrolled reassembly stays cheap to compile.
     """
     scale = model.scale
     h, w, c = image.shape
 
     tile = min(tile, max(h, w))
+    # Clamp the overlap too: an image smaller than the default tile shrank
+    # `tile` above, and the unclamped default overlap would drive the stride
+    # negative (one small frame crashing a variably-sized stream).
+    tile_overlap = min(tile_overlap, (tile - 1) // 2)
     stride = tile - 2 * tile_overlap
     assert stride > 0, "tile_overlap too large for tile size"
 
@@ -106,7 +111,7 @@ def tiled_inference(
     n = len(coords)
     batch = min(tile_batch, int(2 ** math.ceil(math.log2(max(1, n)))))
     if mesh is not None:
-        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_dev = mesh.size
         batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
     if device_loop is None:

@@ -131,7 +131,6 @@ def make_train_step(
     if manual is None:
         manual = mesh.size > 1 and bool(getattr(module, "fused_train", False))
     axis_names = tuple(mesh.axis_names)
-    has_bn = None  # resolved at first trace from state.batch_stats
 
     def loss_and_updates(params, batch_stats, lq, gt, rng):
         if manual:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Mapping as _Mapping
 from typing import Any, Dict
 
 __all__ = ["MODEL_REGISTRY", "get_model_class", "load_model"]
@@ -34,11 +35,27 @@ def _registry() -> Dict[str, Any]:
     }
 
 
-MODEL_REGISTRY = _registry
+class _LazyRegistry(_Mapping):
+    """Dict-like view over the model registry, built lazily (importing the
+    models package at module import would be circular). Exporting the bare
+    ``_registry`` function here made ``'swinir' in MODEL_REGISTRY`` a
+    TypeError — the natural dict-style reads must work."""
+
+    def __getitem__(self, name: str):
+        return _registry()[name.lower()]
+
+    def __iter__(self):
+        return iter(_registry())
+
+    def __len__(self) -> int:
+        return len(_registry())
+
+
+MODEL_REGISTRY = _LazyRegistry()
 
 
 def get_model_class(name: str):
-    return _registry()[name.lower()]
+    return MODEL_REGISTRY[name]
 
 
 def load_model(ckpt_dir: str, model_name: str, tag: str = "best", ema: bool = False):

@@ -180,6 +180,19 @@ def test_tiled_inference_matches_whole_image_conv():
     np.testing.assert_array_equal(whole, tiled)
 
 
+def test_tiled_inference_image_smaller_than_tile():
+    """Default tile/overlap on a small frame: the tile clamps to the image,
+    and the overlap must clamp with it (the unclamped default drove the
+    stride negative and crashed on the assert)."""
+    from studiosr_tpu.models import ESPCN
+    from studiosr_tpu.parallel.tiled import tiled_inference
+
+    model = ESPCN.build(scale=2)
+    image = np.random.default_rng(6).integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    out = tiled_inference(model, image, tile=128, tile_overlap=16, tile_batch=4)
+    np.testing.assert_array_equal(out, model.inference(image))
+
+
 def test_tiled_device_loop_matches_host_loop():
     """The one-jit device tile loop must be pixel-identical to the host loop
     (same grid, same interior-write order — including a snapped last tile

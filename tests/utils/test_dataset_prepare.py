@@ -39,3 +39,67 @@ def test_div2k_prepare_and_load(tmp_path):
     assert os.path.isdir(os.path.join(sub, "DIV2K_train_HR"))
     for scale in (2, 3, 4):
         assert os.listdir(os.path.join(sub, f"DIV2K_train_LR_bicubic/X{scale}"))
+
+
+def test_extract_subimages_nested_atomic_and_tags(tmp_path):
+    """Nested inputs flatten to single-component crop names (relative-path
+    walks must not silently write nothing); interrupted runs leave only a
+    .partial dir and re-run; only TRAILING scale tags are stripped."""
+    import cv2
+
+    from studiosr_tpu.data.dataset import extract_subimages
+
+    raw = tmp_path / "raw" / "nested"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    cv2.imwrite(str(raw / "tex2_scenex4.png"), rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    out = str(tmp_path / "sub")
+
+    extract_subimages(str(tmp_path / "raw"), out, crop_size=20, step=20)
+    files = sorted(os.listdir(out))
+    assert files and all(os.sep not in f for f in files)
+    # 'x2' inside the stem survives; only the trailing 'x4' is stripped.
+    assert all(f.startswith("nested_tex2_scene_") for f in files), files
+    assert not os.path.exists(out + ".partial")
+
+    # A stale .partial (interrupted run) is discarded and rebuilt.
+    os.rename(out, out + ".partial")
+    extract_subimages(str(tmp_path / "raw"), out, crop_size=20, step=20)
+    assert sorted(os.listdir(out)) == files
+    assert not os.path.exists(out + ".partial")
+
+
+def test_extract_subimages_empty_input_raises(tmp_path):
+    from studiosr_tpu.data.dataset import extract_subimages
+
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError):
+        extract_subimages(str(tmp_path / "empty"), str(tmp_path / "out"), 20, 20)
+    assert not os.path.exists(str(tmp_path / "out"))
+
+
+def test_div2k_resumes_partial_prepare(tmp_path):
+    """A prepare interrupted after some packs must rebuild only the missing
+    ones on the next construction (the old top-level `sub` check skipped
+    them forever)."""
+    import shutil
+
+    from studiosr_tpu.data import DIV2K
+
+    root = str(tmp_path)
+    _make_div2k_raw(root)
+    DIV2K(root, size=24, scale=2)
+    x3 = os.path.join(root, "DIV2K", "sub", "DIV2K_train_LR_bicubic", "X3")
+    shutil.rmtree(x3)  # simulate an interruption that lost one pack
+    DIV2K(root, size=24, scale=3)
+    assert os.listdir(x3)
+
+
+def test_model_registry_mapping():
+    """MODEL_REGISTRY is exported as a mapping: dict-style membership and
+    lookup must work (it was the bare registry *function*)."""
+    from studiosr_tpu.zoo import registry
+
+    assert "swinir" in registry.MODEL_REGISTRY
+    assert registry.MODEL_REGISTRY["SwinIR"] is registry.get_model_class("swinir")
+    assert len(registry.MODEL_REGISTRY) >= 12
