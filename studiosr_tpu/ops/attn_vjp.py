@@ -184,9 +184,14 @@ def attention_map_vjp(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, 
     backward is the validated XLA window math with flash-style recompute and
     the scale applied analytically. ``mask`` and ``dp_scales`` get zero
     gradients; roll/partition are permutations so their transpose is the
-    inverse roll/partition of the incoming cotangent."""
-    out = _map_forward_xla(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, shift, heads, ws)
-    return _apply_dp(x, out, dp_scales)
+    inverse roll/partition of the incoming cotangent.
+
+    The primal delegates to ``_map_fwd`` so a NON-differentiated apply of a
+    fused_train module (eval, metrics, dryrun) takes the same fused kernel
+    path as ``value_and_grad`` — running the unfused XLA forward here both
+    doubled eval-forward traffic on TPU and made grad/no-grad outputs
+    diverge by the kernel-vs-XLA rounding delta."""
+    return _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, heads, ws)[0]
 
 
 def _apply_dp(x, full, dp_scales):

@@ -198,6 +198,16 @@ def _row_band(hgt: int) -> int:
     return 1
 
 
+def _xla_conv3(x, w, b):
+    """Plain SAME 3x3 conv (the XLA fallback the fused kernels decline to)."""
+    return (
+        jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b.astype(x.dtype)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("activation", "residual", "prepped", "interpret"))
 def fused_conv3x3(
     x: jnp.ndarray,  # (B, H, W, Cin)
@@ -263,10 +273,20 @@ def fused_resblock(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from studiosr_tpu.ops.pallas import engagement
+
     bsz, hgt, wdt, c = x.shape
     t = min(band, _row_band(hgt))
     while hgt % t:
         t //= 2
+    if hgt % 2 or t % 2:
+        # _band_specs' 2-row halo blocks need hgt and the band both even:
+        # t // halo == 0 degenerates the neighbor index maps to block 0 and
+        # the kernel silently computes garbage at every band boundary.
+        engagement.fallback("fused_resblock", f"odd height {hgt}: halo-2 band layout needs 2-row alignment")
+        h1 = jnp.maximum(_xla_conv3(x, w1, b1), 0)
+        return x + jnp.asarray(res_scale, x.dtype) * _xla_conv3(h1, w2, b2)
+    engagement.engaged("fused_resblock")
     grid = (bsz, hgt // t)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     kernel = functools.partial(_resblock_kernel, res_scale=res_scale)
@@ -382,12 +402,25 @@ def fused_cab_body(
 
     from studiosr_tpu.ops.pallas import engagement
 
-    engagement.engaged("fused_cab_body")
     bsz, hgt, wdt, c = x.shape
     cm = w1.shape[-1]
     t = min(band, _row_band(hgt))
     while hgt % t:
         t //= 2
+    if hgt % 2 or t % 2:
+        # Same halo-2 alignment requirement as fused_resblock (above): odd
+        # heights degenerate the neighbor blocks and corrupt band borders.
+        from studiosr_tpu.ops.pallas.swin_block import _layernorm
+
+        engagement.fallback("fused_cab_body", f"odd height {hgt}: halo-2 band layout needs 2-row alignment")
+        ln = _layernorm(
+            x.astype(jnp.float32), ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32)
+        ).astype(x.dtype)
+        h1 = _xla_conv3(ln, w1, b1)
+        h1 = (0.5 * h1.astype(jnp.float32) * (1.0 + jax.lax.erf(h1.astype(jnp.float32) / np.sqrt(2.0)))).astype(x.dtype)
+        y2 = (jnp.asarray(res_scale, jnp.float32) * _xla_conv3(h1, w2, b2).astype(jnp.float32)).astype(x.dtype)
+        return y2, jnp.sum(y2.astype(jnp.float32), axis=(1, 2))
+    engagement.engaged("fused_cab_body")
     grid = (bsz, hgt // t)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     kernel = functools.partial(_cab_kernel, res_scale=res_scale, ablate=ablate)

@@ -121,7 +121,9 @@ def _bwd_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def mlp_block_vjp(x, s, b, w1, b1, w2, b2):
-    return _reference_forward(x, s, b, w1, b1, w2, b2)
+    # Delegate to _fwd so non-differentiated applies (eval/metrics) take the
+    # same fused-kernel path as value_and_grad (see attention_map_vjp).
+    return _fwd(x, s, b, w1, b1, w2, b2)[0]
 
 
 def _fwd(x, s, b, w1, b1, w2, b2):
@@ -220,10 +222,7 @@ def mlp_block_dp_vjp(x, s, b, w1, b1, w2, b2, dp_scales, rows_per_sample):
     into the kernel (the XLA formulation costs ~3 full-map passes per block
     in training). ``dp_scales`` (B,) are already divided by keep and get a
     zero gradient; ``rows_per_sample`` maps flat rows to samples."""
-    d = _row_scales(dp_scales, x.shape[0], rows_per_sample)
-    full = _reference_forward(x, s, b, w1, b1, w2, b2)
-    x32 = x.astype(jnp.float32)
-    return (x32 + d * (full.astype(jnp.float32) - x32)).astype(x.dtype)
+    return _dp_fwd(x, s, b, w1, b1, w2, b2, dp_scales, rows_per_sample)[0]
 
 
 def _row_scales(dp_scales, rows, rows_per_sample):

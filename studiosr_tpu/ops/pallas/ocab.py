@@ -197,7 +197,11 @@ def fused_ocab_block(
     # ws % 8: the kernel's dynamic kv/q/out column starts are asserted
     # 8-aligned via pl.multiple_of(j * ws, 8); admitting a non-multiple ws
     # would make that hint false (wrong DMAs on TPU — Mosaic alignment rule).
-    if hgt % ws or w % ws or pad == 0 or ws % pad or c % heads or ws % 8:
+    # owin % 8: the kv slice SIZE (pl.ds(js, owin)) must also be 8-aligned
+    # (e.g. ws=8, overlap 0.5 -> owin=12 passes every other check but
+    # violates the Mosaic spatial-slice-size rule on hardware; CPU interpret
+    # mode decomposes the kernel and cannot catch it).
+    if hgt % ws or w % ws or pad == 0 or ws % pad or c % heads or ws % 8 or owin % 8:
         return engagement.fallback(
             "fused_ocab_block",
             f"layout mismatch: shape {x.shape}, ws={ws}, pad={pad}, heads={heads}",

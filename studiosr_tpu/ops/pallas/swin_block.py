@@ -612,7 +612,10 @@ def fused_window_attention_block(
         (hgt // ws) % spp
         or not use_pairs
         or drop_path is not None
-        or (mask is not None and chunk != nw_row)
+        # The spp>1 mask path supports only dense masks at one chunk per
+        # window row (compressed modes' index maps are in per-row block
+        # units); demote rather than trip the dense-only assert below.
+        or (mask is not None and (chunk != nw_row or mask_mode != "dense"))
     ):
         spp = 1
 
@@ -937,6 +940,10 @@ def fused_mlp_block(
         bps = rows_per_sample // block_rows
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (i // bps, 0, 0), memory_space=pltpu.SMEM))
         operands.append(drop_path.reshape(-1, 1, 1).astype(jnp.float32))
+    # extra_scale scales `extra` — without an extra operand there is nothing
+    # to scale, and the kernel flag/operand lists would disagree (popping a
+    # ref that was never appended). Fail loudly instead.
+    assert extra_scale is None or extra is not None, "fused_mlp_block: extra_scale requires extra"
     if extra is not None:
         ep = jnp.pad(extra, ((0, pad), (0, 0))) if pad else extra
         in_specs.append(pl.BlockSpec((block_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM))

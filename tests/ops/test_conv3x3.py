@@ -71,3 +71,59 @@ def test_fused_resblock_matches_xla():
     want = x + 0.5 * _xla_conv(h1, w2, b2)
     got = fused_resblock(x, w1, b1, w2, b2, res_scale=0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_resblock_odd_height_falls_back_correctly():
+    """Odd heights break the halo-2 band layout (t//halo == 0 degenerates
+    the neighbor index maps): the wrapper must fall back to XLA instead of
+    silently corrupting band borders (measured max err ~2.2 pre-fix)."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas import engagement
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_resblock
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 17, 24, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    want = x + 0.5 * _xla_conv(jnp.maximum(_xla_conv(x, w1, b1), 0), w2, b2)
+
+    engagement.reset()
+    got = fused_resblock(x, w1, b1, w2, b2, res_scale=0.5, interpret=True)
+    rec = engagement.counters().get("fused_resblock", {})
+    assert rec.get("fallback", 0) >= 1, rec
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_cab_body_odd_height_falls_back_correctly():
+    import jax
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas import engagement
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_cab_body
+    from studiosr_tpu.ops.pallas.swin_block import _layernorm
+
+    rng = np.random.default_rng(4)
+    c, cm = 16, 8
+    x = jnp.asarray(rng.standard_normal((1, 13, 24, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(c) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, c, cm)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(cm) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, cm, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+
+    ln = _layernorm(x, s, b)
+    h1 = _xla_conv(ln, w1, b1)
+    h1 = 0.5 * h1 * (1.0 + jax.lax.erf(h1 / np.sqrt(2.0)))
+    want_y2 = 0.5 * _xla_conv(h1, w2, b2)
+    want_sum = jnp.sum(want_y2, axis=(1, 2))
+
+    engagement.reset()
+    y2, csum = fused_cab_body(x, s, b, w1, b1, w2, b2, res_scale=0.5, interpret=True)
+    rec = engagement.counters().get("fused_cab_body", {})
+    assert rec.get("fallback", 0) >= 1, rec
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(want_y2), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(csum), np.asarray(want_sum), atol=2e-3, rtol=1e-3)

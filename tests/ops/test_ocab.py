@@ -12,7 +12,10 @@ def test_fused_ocab_block_matches_xla():
 
     rng = np.random.default_rng(0)
     b, h, w, c = 2, 16, 24, 24
-    heads, ws, overlap = 3, 8, 0.5
+    # overlap=1.0 keeps owin = 16 a multiple of 8 (the Mosaic kv-slice-size
+    # rule the wrapper now enforces; HAT's real ws=16/overlap=0.5 -> owin=24
+    # is likewise legal but 4x slower in interpret mode).
+    heads, ws, overlap = 3, 8, 1.0
     owin = int(ws * overlap) + ws
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
 
@@ -57,3 +60,30 @@ def test_fused_ocab_block_matches_xla():
     )
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_ocab_block_declines_misaligned_owin():
+    """ws=8 with overlap 0.5 gives owin=12 — the kv slice SIZE is not a
+    multiple of 8, which violates the Mosaic spatial-slice rule on hardware
+    (interpret mode would silently pass). The wrapper must decline."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas import engagement
+    from studiosr_tpu.ops.pallas.ocab import fused_ocab_block
+
+    rng = np.random.default_rng(1)
+    c, heads, ws, overlap = 24, 3, 8, 0.5
+    owin = int(ws * overlap) + ws
+    assert owin % 8  # the misalignment under test
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, c)), jnp.float32)
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    engagement.reset()
+    got = fused_ocab_block(
+        x, z(c) + 1, z(c), z(c, 3 * c), z(3 * c), z(c, c), z(c),
+        z(heads, ws * ws, owin * owin), z(c) + 1, z(c),
+        z(c, 2 * c), z(2 * c), z(2 * c, c), z(c),
+        heads=heads, ws=ws, overlap_ratio=overlap, interpret=True,
+    )
+    assert got is None
+    rec = engagement.counters().get("fused_ocab_block", {})
+    assert rec.get("fallback", 0) >= 1, rec
