@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Model", "diverge_images", "converge_images", "fast_init_variables"]
+__all__ = ["Model", "FusedServingModel", "diverge_images", "converge_images", "fast_init_variables"]
 
 
 def fast_init_variables(module, x_shape, seed: int = 0):
@@ -443,3 +443,71 @@ class Model(metaclass=_ModelMeta):
     def count_parameters(self) -> int:
         leaves = jax.tree_util.tree_leaves(self.params)
         return int(sum(np.prod(leaf.shape) for leaf in leaves))
+
+
+class FusedServingModel(Model):
+    """Shared plumbing for models with a fused Pallas serving path
+    (SwinIR and HAT; SwinFIR via SwinIR): ``enable_fused`` switching, the
+    cached load-time ``serving_prep`` builder, and a ``_forward`` that
+    threads dtype / matmul precision / ``tail_batched_map`` / ``prep``
+    into the model's fast-forward. Subclasses implement only
+    :meth:`_fused_fns` (lazy imports keep the models<->serving import
+    order acyclic)."""
+
+    def _fused_fns(self):
+        """Return ``(fast_forward, prepare)``:
+        ``fast_forward(variables, x, config, *, interpret,
+        tail_batched_map, prep)`` and ``prepare(variables, config, dtype)``.
+        """
+        raise NotImplementedError
+
+    def enable_fused(self, enabled: bool = True) -> "FusedServingModel":
+        """Serve via the fused Pallas block kernels: same computation,
+        VMEM-resident blocks (serving/swinir_fast.py, serving/hat_fast.py).
+        """
+        self._fused = enabled
+        self._jit_forward = jax.jit(self._forward)
+        return self
+
+    def serving_prep(self):
+        """Eager, cached kernel-layout weights for the fused serving path.
+
+        Keyed on the variables object identity and compute dtype;
+        ``half()``/``enable_fused`` invalidate via the ``_jit_forward``
+        identity they rebuild. Built as ONE jitted program: the builder
+        body is hundreds of small ops that would otherwise each be a
+        separate eager dispatch over the remote relay (~24 ms RPC apiece)
+        at every model load (STATUS.md session 7)."""
+        if not getattr(self, "_fused", False):
+            return None
+        dtype = getattr(self, "_compute_dtype", None) or jnp.float32
+        cache = getattr(self, "_serving_prep_cache", None)
+        if cache is not None and cache[0] is self.variables and cache[1] == dtype:
+            return cache[2]
+        prepare = self._fused_fns()[1]
+        prep = jax.jit(lambda v: prepare(v, self.config, dtype))(self.variables)
+        self._serving_prep_cache = (self.variables, dtype, prep)
+        return prep
+
+    def _forward(self, variables, x, tail_batched_map: bool = True, prep=None):
+        if getattr(self, "_fused", False):
+            fast_forward = self._fused_fns()[0]
+            dtype = getattr(self, "_compute_dtype", None)
+            if dtype is not None:
+                x = x.astype(dtype)
+            interpret = jax.default_backend() == "cpu"
+            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map, prep=prep)
+            precision = getattr(self, "_matmul_precision", None)
+            if precision and dtype is None:  # f32 quality mode through the fused path
+                with jax.default_matmul_precision(precision):
+                    out = fast_forward(variables, x, self.config, **kw)
+            else:
+                out = fast_forward(variables, x, self.config, **kw)
+            return out.astype(jnp.float32)
+        return super()._forward(variables, x)
+
+    def _forward_sharded(self, variables, x, prep=None):
+        # Device-sharded batch (mesh-sharded tiled inference): the fused
+        # tails' per-image lax.map would serialize the batch across chips —
+        # take the batch-parallel XLA tail instead.
+        return self._forward(variables, x, tail_batched_map=False, prep=prep)

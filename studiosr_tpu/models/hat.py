@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from studiosr_tpu.models.base import Model
+from studiosr_tpu.models.base import FusedServingModel
 from studiosr_tpu.models.blocks import DropPath, LayerNorm, Mlp, Normalizer, Upsampler, conv, gelu
 from studiosr_tpu.models.swinir import WindowAttention
 from studiosr_tpu.ops.attention import attention_core
@@ -118,12 +118,11 @@ class HAB(nn.Module):
             from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_dp_vjp
             from studiosr_tpu.ops.windows import relative_position_index
 
+            from studiosr_tpu.ops.pallas.swin_block import _layernorm
+
             s1, b1 = _LayerNormParams(c, name="norm1")()
             # CAB consumes the same LN1 output (f32 stats, torch eps).
-            x32 = x.astype(jnp.float32)
-            mu = jnp.mean(x32, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-            ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * s1 + b1).astype(x.dtype)
+            ln = _layernorm(x.astype(jnp.float32), s1, b1).astype(x.dtype)
             conv_x = CAB(self.dim, self.compress_ratio, self.squeeze_factor, name="conv_block")(ln)
 
             table, wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, ws, self.num_heads, name="attn")()
@@ -379,52 +378,11 @@ class HATModule(nn.Module):
         return x[:, : h * self.scale, : w * self.scale, :]
 
 
-class HAT(Model):
-    def enable_fused(self, enabled: bool = True) -> "HAT":
-        """Serve via the fused Pallas block kernels (serving/hat_fast.py)."""
-        self._fused = enabled
-        self._jit_forward = jax.jit(self._forward)
-        return self
+class HAT(FusedServingModel):
+    def _fused_fns(self):
+        from studiosr_tpu.serving.hat_fast import hat_fast_forward, prepare_hat_serving
 
-    def serving_prep(self):
-        """Eager, cached kernel-layout weights for the fused serving path
-        (serving/hat_fast.py prepare_hat_serving); see models/swinir.py."""
-        if not getattr(self, "_fused", False):
-            return None
-        dtype = getattr(self, "_compute_dtype", None) or jnp.float32
-        cache = getattr(self, "_serving_prep_cache", None)
-        if cache is not None and cache[0] is self.variables and cache[1] == dtype:
-            return cache[2]
-        from studiosr_tpu.serving.hat_fast import prepare_hat_serving
-
-        # One jitted program instead of hundreds of eager relay dispatches
-        # per load (see models/swinir.py serving_prep).
-        prep = jax.jit(lambda v: prepare_hat_serving(v, self.config, dtype))(self.variables)
-        self._serving_prep_cache = (self.variables, dtype, prep)
-        return prep
-
-    def _forward(self, variables, x, tail_batched_map: bool = True, prep=None):
-        if getattr(self, "_fused", False):
-            from studiosr_tpu.serving.hat_fast import hat_fast_forward
-
-            dtype = getattr(self, "_compute_dtype", None)
-            if dtype is not None:
-                x = x.astype(dtype)
-            interpret = jax.default_backend() == "cpu"
-            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map, prep=prep)
-            precision = getattr(self, "_matmul_precision", None)
-            if precision and dtype is None:  # f32 quality mode through the fused path
-                with jax.default_matmul_precision(precision):
-                    out = hat_fast_forward(variables, x, self.config, **kw)
-            else:
-                out = hat_fast_forward(variables, x, self.config, **kw)
-            return out.astype(jnp.float32)
-        return super()._forward(variables, x)
-
-    def _forward_sharded(self, variables, x, prep=None):
-        # See SwinIR._forward_sharded: no per-image tail lax.map under a
-        # device-sharded batch.
-        return self._forward(variables, x, tail_batched_map=False, prep=prep)
+        return hat_fast_forward, prepare_hat_serving
 
     @classmethod
     def build(

@@ -101,10 +101,13 @@ class IMDN(Model):
         n_feats: int = 64,
         n_modules: int = 6,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "IMDN":
+        from studiosr_tpu.models.base import init_variables
+
         config = dict(scale=scale, n_colors=n_colors, img_range=img_range, n_feats=n_feats, n_modules=n_modules)
         module = IMDNModule(**config)
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, n_colors), jnp.float32))
+        variables = init_variables(module, (1, 16, 16, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, {})
 
     @classmethod
@@ -113,7 +116,8 @@ class IMDN(Model):
         assert scale in [2, 3, 4]
         from studiosr_tpu.zoo import fetch, load_torch_state_dict, translate_state_dict
 
-        model = cls.build(scale=scale)
+        # fast_init: the checkpoint covers every parameter.
+        model = cls.build(scale=scale, fast_init=True)
         path = fetch(
             f"IMDN_x{scale}.pth",
             url=f"https://github.com/Zheng222/IMDN/raw/master/checkpoints/IMDN_x{scale}.pth",

@@ -316,11 +316,11 @@ class _AttentionPair(nn.Module):
                 # Adaptive: x + proj(attn(LN_in(LN_out(x)))). Run LN_out in
                 # XLA, then re-base the fused block's internal residual:
                 # x + (block(ln) - ln) with block(ln) = ln + proj(attn(LN_in(ln))).
+                from studiosr_tpu.ops.pallas.swin_block import _layernorm
+
                 zbias = jnp.zeros((heads, ws * ws, ws * ws), jnp.float32)
                 x32 = x.astype(jnp.float32)
-                mu = jnp.mean(x32, axis=-1, keepdims=True)
-                var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-                ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * s1 + b1).astype(x.dtype)
+                ln = _layernorm(x32, s1, b1).astype(x.dtype)
                 y = attention_map_vjp(
                     ln, s_in, b_in, wqkv, zb3, wproj, zb1, zbias, None, None, 0, heads, ws
                 )
@@ -560,7 +560,9 @@ class MaxSR(Model):
         )
         if light:
             config.update(dim=48, dim_head=12, depth=[2, 2, 2, 2])
-        model = cls.build(**config)
+        # fast_init only when a checkpoint will overwrite every value; a
+        # bare from_pretrained (no ckpt_path) must keep real initializers.
+        model = cls.build(**config, fast_init=ckpt_path is not None)
         if ckpt_path is not None:
             from studiosr_tpu.zoo import load_torch_state_dict, translate_state_dict
 

@@ -93,6 +93,20 @@ class SFB(nn.Module):
 
 class SwinFIR(SwinIR):
     @classmethod
+    def from_pretrained(cls, *args, **kwargs) -> "SwinFIR":
+        """No public SwinFIR release checkpoints exist. The reference
+        inherits SwinIR.from_pretrained, which hardcodes ``SwinIR(**config)``
+        (reference ``swinir.py:429``) and so silently hands back a plain
+        SwinIR; inheriting OUR builder would instead produce a SwinFIR whose
+        SFB parameters stay zero-initialized (strict=False load) — a model
+        that runs but upscales garbage. Fail loudly instead."""
+        raise NotImplementedError(
+            "SwinFIR has no published pretrained checkpoints. Train one with "
+            "studiosr_tpu.Trainer (SwinFIR.build().get_training_config()), or "
+            "use SwinIR.from_pretrained for the release SwinIR weights."
+        )
+
+    @classmethod
     def build(
         cls,
         scale: int = 4,

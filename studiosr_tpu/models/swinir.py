@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from studiosr_tpu.models.base import Model
+from studiosr_tpu.models.base import FusedServingModel
 from studiosr_tpu.models.blocks import DropPath, LayerNorm, Mlp, Normalizer, Upsampler, conv
 from studiosr_tpu.ops.attention import attention_core
 from studiosr_tpu.ops.windows import (
@@ -323,57 +323,11 @@ class SwinIRModule(nn.Module):
         return x[:, : h * self.scale, : w * self.scale, :]
 
 
-class SwinIR(Model):
-    def enable_fused(self, enabled: bool = True) -> "SwinIR":
-        """Switch inference to the fused Pallas serving path
-        (serving/swinir_fast.py): same computation, VMEM-resident blocks."""
-        self._fused = enabled
-        self._jit_forward = jax.jit(self._forward)
-        return self
+class SwinIR(FusedServingModel):
+    def _fused_fns(self):
+        from studiosr_tpu.serving import prepare_serving, swinir_fast_forward
 
-    def serving_prep(self):
-        """Eager, cached kernel-layout weights for the fused serving path
-        (serving/swinir_fast.py prepare_serving). Keyed on the variables
-        object identity and compute dtype; half()/enable_fused invalidate
-        via the identity of ``_jit_forward`` they rebuild."""
-        if not getattr(self, "_fused", False):
-            return None
-        dtype = getattr(self, "_compute_dtype", None) or jnp.float32
-        cache = getattr(self, "_serving_prep_cache", None)
-        if cache is not None and cache[0] is self.variables and cache[1] == dtype:
-            return cache[2]
-        from studiosr_tpu.serving import prepare_serving
-
-        # One jitted program: the builder body is hundreds of small ops that
-        # would otherwise each be a separate eager dispatch over the remote
-        # relay (~24 ms RPC apiece) at every model load.
-        prep = jax.jit(lambda v: prepare_serving(v, self.config, dtype))(self.variables)
-        self._serving_prep_cache = (self.variables, dtype, prep)
-        return prep
-
-    def _forward(self, variables, x, tail_batched_map: bool = True, prep=None):
-        if getattr(self, "_fused", False):
-            from studiosr_tpu.serving import swinir_fast_forward
-
-            dtype = getattr(self, "_compute_dtype", None)
-            if dtype is not None:
-                x = x.astype(dtype)
-            interpret = jax.default_backend() == "cpu"
-            kw = dict(interpret=interpret, tail_batched_map=tail_batched_map, prep=prep)
-            precision = getattr(self, "_matmul_precision", None)
-            if precision and dtype is None:  # f32 quality mode through the fused path
-                with jax.default_matmul_precision(precision):
-                    out = swinir_fast_forward(variables, x, self.config, **kw)
-            else:
-                out = swinir_fast_forward(variables, x, self.config, **kw)
-            return out.astype(jnp.float32)
-        return super()._forward(variables, x)
-
-    def _forward_sharded(self, variables, x, prep=None):
-        # Device-sharded batch (mesh-sharded tiled inference): the fused
-        # tails' per-image lax.map would serialize the batch across chips —
-        # take the batch-parallel XLA tail instead.
-        return self._forward(variables, x, tail_batched_map=False, prep=prep)
+        return swinir_fast_forward, prepare_serving
 
     @classmethod
     def build(

@@ -79,10 +79,13 @@ class VDSR(Model):
         channels: int = 64,
         n_layers: int = 18,
         seed: int = 0,
+        fast_init: bool = False,
     ) -> "VDSR":
+        from studiosr_tpu.models.base import init_variables
+
         config = dict(scale=scale, n_colors=n_colors, img_range=img_range, channels=channels, n_layers=n_layers)
         module = VDSRModule(**config)
-        variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 12, 12, n_colors), jnp.float32))
+        variables = init_variables(module, (1, 12, 12, n_colors), seed, fast=fast_init)
         return cls(module, variables, config, _TRAINING_CONFIG)
 
     @classmethod
@@ -95,7 +98,8 @@ class VDSR(Model):
             3: "1wXOnLFf7rWglzzVMzYSVrb5Po79vUUq3",
             4: "1Q5DKy7oAQbgGqxI-unxPy9X3GcHwZokC",
         }
-        model = cls.build(scale=scale)
+        # fast_init: the checkpoint covers every parameter.
+        model = cls.build(scale=scale, fast_init=True)
         path = fetch(f"VDSRx{scale}.pth", gdrive_id=file_ids[scale])
         state = load_torch_state_dict(path)
         model.variables, _ = translate_state_dict(state, model.variables)

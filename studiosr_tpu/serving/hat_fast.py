@@ -58,7 +58,6 @@ def prepare_hat_serving(variables, config, dtype):
     overlap_ratio = float(config.get("overlap_ratio", 0.5))
     rpi = relative_position_index(ws)
     rpi_oca = relative_position_index_oca(ws, overlap_ratio)
-    owin = int(ws * overlap_ratio) + ws
 
     prep = {"blocks": {}, "cab": {}, "convs": {}, "ocab": {}}
     for li, depth in enumerate(depths):
@@ -103,18 +102,6 @@ USE_WHOLE_HAB = False
 
 def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
-
-
-def _cab(x, p, squeeze_factor_gate=True):
-    """conv-GELU-conv + channel attention (models/hat.py CAB)."""
-    y = _conv(x, p["cab.0"])
-    y = _gelu(y)
-    y = _conv(y, p["cab.2"])
-    g = jnp.mean(y, axis=(1, 2), keepdims=True)
-    g = _conv(g, p["cab.3"]["attention.1"])
-    g = jax.nn.relu(g)
-    g = _conv(g, p["cab.3"]["attention.3"])
-    return y * jax.nn.sigmoid(g)
 
 
 def _ocab(x, p, heads, ws, overlap_ratio):
@@ -354,7 +341,6 @@ def hat_fast_forward(
         from studiosr_tpu.ops.pallas.ocab import fused_ocab_block
 
         rpi_oca = relative_position_index_oca(ws, overlap_ratio)
-        owin = int(ws * overlap_ratio) + ws
         op = None if prep is None else prep["ocab"][str(li)]
         if op is None:
             oca_bias = gather_rel_bias(oa["relative_position_bias_table"], rpi_oca, heads)

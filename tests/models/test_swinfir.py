@@ -52,3 +52,15 @@ def test_mxu_dft_path_matches_fft_on_cpu(monkeypatch):
     fused = model.enable_fused(True)
     got_fused = np.asarray(fused(x))
     np.testing.assert_allclose(got_fused, want, atol=2e-4, rtol=1e-4)
+
+
+def test_swinfir_from_pretrained_raises():
+    """No public SwinFIR checkpoints exist; inheriting SwinIR's loader would
+    hand back a SwinFIR whose SFB params stay zero (strict=False load) — a
+    model that runs but upscales garbage. Must fail loudly instead."""
+    import pytest
+
+    from studiosr_tpu.models import SwinFIR
+
+    with pytest.raises(NotImplementedError, match="no published pretrained"):
+        SwinFIR.from_pretrained(scale=4)
