@@ -60,7 +60,7 @@ def main() -> None:
     # ``helpers.py:99-106``), whose basename walk breaks on nested inputs and
     # crashes on a second run with the default nested ``--output``.
     paths = [path] if os.path.isfile(path) else _walk_image_paths(path, skip_dir=args.output)
-    images = {p: imread(p) for p in paths}
+    root = path if os.path.isdir(path) else os.path.dirname(path)
     model = models[args.model].from_pretrained(scale=args.scale)
     if args.half:
         model.half()
@@ -70,26 +70,33 @@ def main() -> None:
     os.makedirs(args.output, exist_ok=True)
 
     def save(file_path, out):
-        name = os.path.splitext(os.path.basename(file_path))[0]
+        # Root-relative name with separators flattened: two inputs that share
+        # a basename in different subdirectories must not overwrite each
+        # other's output (the recursive walk makes that layout common).
+        rel = os.path.relpath(file_path, root) if root else os.path.basename(file_path)
+        name = os.path.splitext(rel)[0].replace(os.sep, "__")
         save_path = os.path.join(args.output, f"{name}.{args.model}_x{args.scale}.png")
         imwrite(save_path, out)
         print(" -> ", save_path)
 
     if args.batch > 1 and not (args.tile or args.self_ensemble):
         # Group same-shaped images: each group rides stacked dispatches
-        # (one compile per distinct shape, as with single images).
+        # (one compile per distinct shape, as with single images). Shapes are
+        # probed first and pixels re-read per chunk, so memory stays O(batch)
+        # instead of holding every decoded image at once.
         by_shape: dict = {}
-        for file_name, image in images.items():
-            by_shape.setdefault(image.shape, []).append(file_name)
+        for file_name in paths:
+            by_shape.setdefault(imread(file_name).shape, []).append(file_name)
         for shape, names in by_shape.items():
             for i in range(0, len(names), args.batch):
                 chunk = names[i : i + args.batch]
-                outs = model.inference_batch([images[n] for n in chunk])
+                outs = model.inference_batch([imread(n) for n in chunk])
                 for n, out in zip(chunk, outs):
                     save(n, out)
         return
 
-    for file_name, image in images.items():
+    for file_name in paths:
+        image = imread(file_name)
         if args.tile:
             from studiosr_tpu.parallel.tiled import tiled_inference
 

@@ -67,10 +67,4 @@ void paired_crop_augment(const uint8_t *lq, int lh, int lw,
     crop_one(gt, lw * scale * 3, xs * scale, ys * scale, size * scale, flags, inv, out_gt);
 }
 
-// Plain uint8 HWC -> float32 [0,1] conversion (no crop), for eval batches.
-void to_float01(const uint8_t *src, int64_t n, float *dst) {
-    const float inv = 1.0f / 255.0f;
-    for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * inv;
-}
-
 }  // extern "C"

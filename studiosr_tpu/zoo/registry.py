@@ -64,11 +64,19 @@ def load_model(ckpt_dir: str, model_name: str, tag: str = "best", ema: bool = Fa
     ``ema=True`` serves the EMA shadow weights from ``{tag}.ema.ckpt``
     (written by ``Trainer(ema_decay=...)`` — the reference zoo's
     ``params_ema`` analog) in place of the raw parameters."""
+    import inspect
+
     from flax import serialization
 
     with open(os.path.join(ckpt_dir, "params.json")) as f:
         config = json.load(f)
-    model = get_model_class(model_name).build(**config)
+    cls = get_model_class(model_name)
+    # fast_init where the builder supports it: the checkpoint overwrites
+    # every value, and the real initializer runs a full forward (minutes for
+    # flagship models on CPU — models/base.py fast_init_variables).
+    if "fast_init" in inspect.signature(cls.build).parameters:
+        config = dict(config, fast_init=True)
+    model = cls.build(**config)
     path = os.path.join(ckpt_dir, f"{tag}.model.ckpt")
     with open(path, "rb") as f:
         model.variables = serialization.from_bytes(model.variables, f.read())

@@ -224,8 +224,6 @@ def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     stats. Trace-time constants (masks, rel-pos indices) are recomputed by
     the consumer, matching the reference's buffer handling.
     """
-    reverse_leaf = {"kernel": "weight", "scale": "weight", "embedding": "weight", "alpha": "weight",
-                    "bias": "bias", "mean": "running_mean", "var": "running_var"}
     state: Dict[str, np.ndarray] = {}
     for path, value in _flatten(variables).items():
         collection, *rest = path
@@ -233,7 +231,7 @@ def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
             continue
         prefix = ".".join(rest[:-1])
         leaf = rest[-1]
-        torch_leaf = reverse_leaf.get(leaf, leaf)
+        torch_leaf = _LEAF_TO_TORCH.get(leaf, leaf)
         key = f"{prefix}.{torch_leaf}" if prefix else torch_leaf
         state[key] = _convert_back(leaf, np.asarray(value))
     return state

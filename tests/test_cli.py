@@ -102,3 +102,18 @@ def test_cli_batched_matches_single(tmp_path, monkeypatch, tiny_pretrained):
     assert sorted(os.listdir(out1)) == sorted(os.listdir(out2))
     for name in os.listdir(out1):
         np.testing.assert_array_equal(imread(str(out1 / name)), imread(str(out2 / name)))
+
+
+def test_cli_nested_duplicate_basenames_do_not_collide(tmp_path, monkeypatch, tiny_pretrained):
+    """Two inputs sharing a basename in different subdirectories (common in
+    per-scale dataset layouts) must produce two outputs — the old
+    basename-only naming silently overwrote the first with the second."""
+    rng = np.random.RandomState(1)
+    for sub in ("a", "b"):
+        (tmp_path / sub).mkdir()
+        imwrite(str(tmp_path / sub / "0001.png"), rng.randint(0, 255, (16, 20, 3), np.uint8))
+    out = tmp_path / "out"
+    _run_cli(monkeypatch, ["--image", str(tmp_path), "--scale", "2", "--model", "swinir",
+                           "--output", str(out)])
+    # (the fixture model is zero-init, so only the naming is checkable here)
+    assert sorted(os.listdir(out)) == ["a__0001.swinir_x2.png", "b__0001.swinir_x2.png"]
