@@ -316,9 +316,26 @@ class Trainer:
 
     # -- checkpointing ------------------------------------------------------
 
+    @staticmethod
+    def _atomic_write(path: str, data: bytes) -> None:
+        """Crash-safe write: tmp file in the same directory + ``os.replace``.
+
+        The reference writes checkpoints with plain ``torch.save``
+        (``trainer.py:147-163``) — a kill mid-write leaves a truncated
+        ``latest.*`` that the restart-based recovery model then chokes on.
+        ``os.replace`` is atomic on POSIX, so readers only ever see the old
+        or the new complete file (same treatment the dataset prepare got).
+        """
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     def save(self, file_name: str) -> Tuple[str, str]:
         """Triple-file scheme: model weights, train state, params.json
-        (``trainer.py:147-163``)."""
+        (``trainer.py:147-163``). All writes are atomic (tmp + replace)."""
         from flax import serialization
 
         os.makedirs(self.ckpt_path, exist_ok=True)
@@ -327,8 +344,7 @@ class Trainer:
 
         host = self._host_state()
         variables = host["variables"]
-        with open(model_path, "wb") as f:
-            f.write(serialization.to_bytes(variables))
+        self._atomic_write(model_path, serialization.to_bytes(variables))
 
         train_dict = dict(
             opt_state=host["opt_state"],
@@ -336,24 +352,44 @@ class Trainer:
             step=int(self.state.step),
             best_psnr=float(self.best_psnr),
         )
-        with open(train_path, "wb") as f:
-            f.write(serialization.to_bytes(train_dict))
+        self._atomic_write(train_path, serialization.to_bytes(train_dict))
 
         if self.state.ema_params is not None:
             # Separate file (the reference zoo's params_ema analog,
             # ``hat.py:576-593``): keeps {tag}.model.ckpt loadable by
             # registry templates that know nothing about EMA.
             ema_path = os.path.join(self.ckpt_path, file_name + ".ema.ckpt")
-            with open(ema_path, "wb") as f:
-                f.write(serialization.to_bytes(host["ema_params"]))
+            self._atomic_write(ema_path, serialization.to_bytes(host["ema_params"]))
 
-        with open(os.path.join(self.ckpt_path, "params.json"), "w") as f:
-            json.dump(self.model.get_model_config(), f)
+        self._atomic_write(
+            os.path.join(self.ckpt_path, "params.json"),
+            json.dumps(self.model.get_model_config()).encode(),
+        )
         return model_path, train_path
 
     def load(self, file_name: str) -> bool:
         """Restore weights, optimizer state, iteration counter, best PSNR
-        (``trainer.py:165-179``)."""
+        (``trainer.py:165-179``).
+
+        A corrupt/truncated checkpoint (pre-atomic-write files, or torn
+        non-POSIX filesystems) falls back ``latest`` -> ``best`` so a
+        restart still resumes from the last *valid* state instead of
+        crashing the recovery path.
+        """
+        try:
+            return self._load_tag(file_name)
+        except Exception as e:  # truncated/corrupt msgpack
+            warnings.warn(f"checkpoint '{file_name}' is corrupt ({e!r})")
+            if file_name == "latest":
+                try:
+                    if self._load_tag("best"):
+                        warnings.warn("resumed from 'best' instead")
+                        return True
+                except Exception as e2:
+                    warnings.warn(f"checkpoint 'best' is corrupt too ({e2!r})")
+            return False
+
+    def _load_tag(self, file_name: str) -> bool:
         from flax import serialization
 
         model_path = os.path.join(self.ckpt_path, file_name + ".model.ckpt")

@@ -127,6 +127,66 @@ def test_trainer_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_resume_survives_corrupt_latest(tmp_path):
+    """Crash-safe recovery (SURVEY §5): saves are atomic (tmp + os.replace —
+    no .tmp debris, never a half-written visible file) and a corrupt
+    ``latest`` (e.g. torn by a non-POSIX filesystem) falls back to ``best``
+    instead of killing the restart."""
+    dataset = SyntheticPairs()
+
+    def make(evaluator=None):
+        model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+        return Trainer(
+            model,
+            dataset,
+            evaluator,
+            batch_size=8,
+            num_workers=1,
+            max_iters=4,
+            eval_interval=2,
+            ckpt_path=str(tmp_path),
+            bfloat16=False,
+        )
+
+    t1 = make(CountingEvaluator())
+    t1.run()
+    # Atomic writes leave no tmp debris behind.
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+    tb = make()
+    assert tb.load("best")
+    best_kernel = np.asarray(tb.model.params["head.0"]["kernel"]).copy()
+    best_psnr_expected = tb.best_psnr
+
+    # Simulate a kill mid-save: truncate latest.model.ckpt to half its bytes.
+    latest = tmp_path / "latest.model.ckpt"
+    data = latest.read_bytes()
+    latest.write_bytes(data[: len(data) // 2])
+
+    t2 = make()
+    with pytest.warns(UserWarning, match="corrupt"):
+        assert t2.load("latest")  # falls back to best
+    np.testing.assert_allclose(
+        np.asarray(t2.model.params["head.0"]["kernel"]), best_kernel
+    )
+    assert t2.best_psnr == best_psnr_expected
+
+    # Truncated train state (model file intact) must fall back too.
+    (tmp_path / "latest.model.ckpt").write_bytes(data)
+    train = tmp_path / "latest.train.ckpt"
+    tdata = train.read_bytes()
+    train.write_bytes(tdata[: len(tdata) // 3])
+    t3 = make()
+    with pytest.warns(UserWarning, match="corrupt"):
+        assert t3.load("latest")
+
+    # Both tags corrupt -> clean False (fresh start), not a crash.
+    train.write_bytes(tdata[: len(tdata) // 3])
+    (tmp_path / "best.model.ckpt").write_bytes(data[: len(data) // 4])
+    t4 = make()
+    with pytest.warns(UserWarning, match="corrupt"):
+        assert not t4.load("latest")
+
+
 def test_trainer_batchnorm_model():
     """SyncBatchNorm analog: BN model trains under the sharded step (batch
     stats mutate globally)."""
