@@ -56,6 +56,52 @@ def test_swinir_full_light_config_parity():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_swinir_classical_full_geometry_parity():
+    """Full CLASSICAL geometry (embed 180, depths [6]x6, heads [6]x6, ws 8 —
+    the exact architecture of the published 001_classicalSR checkpoints,
+    reference ``swinir.py:259-273``) at a non-window-multiple eval size:
+    the flip-padded 24x24 map runs an ODD 3 windows/row, exercising the
+    180-dim padding paths and odd-window kernel handling of the real
+    checkpoints. Parity through BOTH the plain forward and the fused
+    serving path (interpret mode)."""
+    import torch
+
+    from studiosr_tpu.zoo import translate_state_dict
+
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.swinir.SwinIR(scale=4).eval()
+    ours = SwinIR.build(scale=4)
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    ours.variables, report = translate_state_dict(state, ours.variables)
+    assert not report.missing, f"missing params: {report.missing}"
+
+    x = np.random.default_rng(1).standard_normal((1, 20, 24, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got_plain = np.asarray(ours(x))
+    np.testing.assert_allclose(got_plain, want, atol=1e-3, rtol=1e-3)
+
+    from studiosr_tpu.ops.pallas import engagement
+
+    import jax
+
+    engagement.reset()
+    jax.clear_caches()
+    ours.enable_fused(True)
+    got_fused = np.asarray(ours(x))
+    np.testing.assert_allclose(got_fused, want, atol=1e-3, rtol=1e-3)
+    counts = engagement.counters()
+    attn_engaged = any(
+        counts.get(k, {}).get("engaged")
+        for k in ("fused_swin_block", "fused_window_attention_block", "window_attention_pallas")
+    )
+    assert attn_engaged, f"no fused attention kernel engaged: {counts}"
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
 def test_swinir_light_parity():
     import torch
 
