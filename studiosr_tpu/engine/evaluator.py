@@ -49,10 +49,24 @@ class _EvaluatorBase:
         on_device: bool = False,
     ) -> Tuple[float, float]:
         crop_border = self.scale
+        # Full chip residency: when handed a Model (not a bare callable) in
+        # on_device mode, SR + PSNR/SSIM run in ONE jitted program and only
+        # two scalars cross the host boundary per image (no HR fetch at all).
+        device_pair = on_device and hasattr(func, "evaluate_uint8") and not visualize
         psnrs, ssims = [], []
         for i in range(len(self.testset)):
             lq, gt = self.testset[i]
-            sr = func(lq)
+            if device_pair:
+                psnr, ssim = func.evaluate_uint8(lq, gt, crop_border=crop_border, y_only=y_only)
+                psnrs.append(psnr)
+                ssims.append(ssim)
+                if logging:
+                    print(
+                        f" {self.dataset:>8} - {i + 1:>3}/{len(self.testset):>3} PSNR: {psnr:6.3f}, SSIM: {ssim:6.4f}",
+                        end="\r",
+                    )
+                continue
+            sr = func.inference(lq) if hasattr(func, "inference") else func(lq)
             if on_device:
                 psnr = float(compute_psnr_jax(sr, gt, crop_border=crop_border, y_only=y_only))
                 ssim = float(compute_ssim_jax(sr, gt, crop_border=crop_border, y_only=y_only))

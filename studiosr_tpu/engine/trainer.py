@@ -76,6 +76,7 @@ class Trainer:
         ema_decay: float = 0.0,
         grad_accum_steps: int = 1,
         steps_per_dispatch: int = 1,
+        eval_on_device: Optional[bool] = None,
     ) -> None:
         self.model = model
         self.dataset = train_dataset
@@ -152,6 +153,9 @@ class Trainer:
             )
         self.criterion = get_loss(loss_function)
         self.ema_decay = float(ema_decay)
+        # None = auto: chip-resident eval on accelerators when the evaluator
+        # is one of ours (a custom evaluator only guarantees run(func)).
+        self.eval_on_device = eval_on_device
         self.best_psnr = 0.0
         self.mesh = get_mesh()
         # grad_accum_steps > 1: k micro-iterations per optimizer update
@@ -311,8 +315,21 @@ class Trainer:
         psnr, ssim = 0.0, 0.0
         if self.evaluator:
             self._sync_model_from_state()
-            psnr, ssim = self.evaluator.run(self.model.inference)
+            if self._eval_on_device():
+                # Chip-resident eval: SR + metrics in one program per image,
+                # two scalars fetched — no HR image crosses the host boundary
+                # (the host numpy protocol stays for standalone reporting).
+                psnr, ssim = self.evaluator.run(self.model, on_device=True)
+            else:
+                psnr, ssim = self.evaluator.run(self.model.inference)
         return psnr, ssim
+
+    def _eval_on_device(self) -> bool:
+        if self.eval_on_device is not None:
+            return bool(self.eval_on_device)
+        from studiosr_tpu.engine.evaluator import _EvaluatorBase
+
+        return jax.default_backend() != "cpu" and isinstance(self.evaluator, _EvaluatorBase)
 
     # -- checkpointing ------------------------------------------------------
 

@@ -301,6 +301,43 @@ class Model(metaclass=_ModelMeta):
             return fn(self.variables, x, prep)
         return fn(self.variables, x)
 
+    def evaluate_uint8(self, lq, gt, crop_border: int = 0, y_only: bool = True):
+        """SR forward + PSNR/SSIM in ONE jitted program; fetches two scalars.
+
+        The north-star eval loop never moves an HR image off the chip
+        (BASELINE.json): the uint8 LQ/GT pair uploads, the same XLA program
+        runs the (fused) forward, the normalize/round/clip, the Y-channel
+        conversion and the PSNR/SSIM chain, and only two f32 scalars come
+        back — vs the host protocol's full-HR fetch per image (reference
+        ``evaluator.py:53-79`` scores on host). Matches the host numpy
+        protocol to <1e-4 dB (tests/engine/test_on_device_eval.py).
+        """
+        from studiosr_tpu.utils.metrics import compute_psnr_jax, compute_ssim_jax
+
+        cache = getattr(self, "_eval_uint8_cache", None)
+        if cache is None or cache[0] is not self._jit_forward:
+
+            def _eval(v, lq, gt, p=None, *, crop_border, y_only):
+                sr = self._forward_uint8(v, lq, sharded=False, prep=p)[0]
+                return jnp.stack(
+                    [
+                        compute_psnr_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+                        compute_ssim_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+                    ]
+                )
+
+            self._eval_uint8_cache = (
+                self._jit_forward,
+                jax.jit(_eval, static_argnames=("crop_border", "y_only")),
+            )
+        fn = self._eval_uint8_cache[1]
+        lq = jnp.asarray(np.asarray(lq))[None]
+        gt = jnp.asarray(np.asarray(gt))
+        prep = self.serving_prep()
+        out = fn(self.variables, lq, gt, prep, crop_border=crop_border, y_only=y_only)
+        psnr, ssim = np.asarray(out)
+        return float(psnr), float(ssim)
+
     def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
         """Train-mode apply (dropout active, batch stats updating)."""
         return self.module.apply(variables, x, train=True, rngs=rngs, mutable=list(mutable))

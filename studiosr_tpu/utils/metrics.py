@@ -170,7 +170,9 @@ def _to_y_jax(image):
 
     if image.ndim == 3 and image.shape[-1] == 3:
         weights = jnp.asarray(_Y_WEIGHTS, dtype=jnp.float32)
-        return jnp.tensordot(image, weights, axes=[[-1], [0]]) + _Y_OFFSET
+        # precision: TPU default truncates f32 multiplies to bf16; metric
+        # parity with the host protocol needs true f32.
+        return jnp.tensordot(image, weights, axes=[[-1], [0]], precision="highest") + _Y_OFFSET
     return image
 
 
@@ -222,11 +224,20 @@ def _ssim_maps_jax(im1, im2):
 
     def filt(img):
         # img: (H, W) -> separable "valid" gaussian; crop happens implicitly.
+        # HIGHEST precision is load-bearing on TPU: the default bf16-truncated
+        # multiplies wreck the E[x^2] - E[x]^2 variance cancellation and SSIM
+        # diverges from the host protocol by ~0.02 (measured, exp_eval_ab.py).
         x = img[None, :, :, None]
         kh = kernel.reshape(-1, 1, 1, 1)
         kw = kernel.reshape(1, -1, 1, 1)
-        x = lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x = lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = lax.conv_general_dilated(
+            x, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        x = lax.conv_general_dilated(
+            x, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
         return x[0, :, :, 0]
 
     ux = filt(im1)

@@ -1,0 +1,126 @@
+"""Chip-resident evaluation: SR + PSNR/SSIM in one program, scalar-only fetch.
+
+The reference protocol fetches every SR image to host and scores with numpy
+(``evaluator.py:53-79``); the on-device path must agree with that protocol
+to <1e-4 dB while never moving an HR image off the chip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "fixtures", "quality")
+
+needs_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURES, "ckpt", "best.model.ckpt")),
+    reason="quality fixture not generated",
+)
+
+
+def _load():
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.zoo.registry import load_model
+
+    model = load_model(os.path.join(FIXTURES, "ckpt"), "espcn", tag="best")
+    pairs = []
+    for i in range(3):
+        hr = imread(os.path.join(FIXTURES, f"img{i}_hr.png"))
+        lr = imread(os.path.join(FIXTURES, f"img{i}_lr.png"))
+        pairs.append((lr, hr))
+    return model, pairs
+
+
+@needs_fixture
+def test_evaluate_uint8_matches_host_protocol():
+    """model.evaluate_uint8 (one program, two scalars fetched) == host numpy
+    protocol on trained-fixture images, across crop/y_only variants."""
+    from studiosr_tpu.utils.metrics import compute_psnr, compute_ssim
+
+    model, pairs = _load()
+    for crop_border, y_only in [(2, True), (0, False)]:
+        for lr, hr in pairs:
+            sr = model.inference(lr)
+            want_psnr = compute_psnr(sr, hr, crop_border=crop_border, y_only=y_only)
+            want_ssim = compute_ssim(sr, hr, crop_border=crop_border, y_only=y_only)
+            got_psnr, got_ssim = model.evaluate_uint8(
+                lr, hr, crop_border=crop_border, y_only=y_only
+            )
+            assert abs(got_psnr - want_psnr) < 1e-4, (got_psnr, want_psnr)
+            assert abs(got_ssim - want_ssim) < 1e-4, (got_ssim, want_ssim)
+
+
+@needs_fixture
+def test_evaluator_on_device_model_route(tmp_path):
+    """Evaluator.run(model, on_device=True) takes the pair-program route
+    (no Model.inference host fetch) and agrees with the host protocol."""
+    from studiosr_tpu.engine.evaluator import Evaluator2
+    from studiosr_tpu.utils.helpers import imwrite
+
+    model, pairs = _load()
+
+    # Build a synthetic Evaluator2-layout dataset from the fixture pairs.
+    hr_dir = tmp_path / "HR"
+    lr_dir = tmp_path / "LR_bicubic" / "X2"
+    os.makedirs(hr_dir), os.makedirs(lr_dir)
+    for i, (lr, hr) in enumerate(pairs):
+        imwrite(str(hr_dir / f"img{i}.png"), hr)
+        imwrite(str(lr_dir / f"img{i}.png"), lr)
+
+    ev = Evaluator2.__new__(Evaluator2)
+    ev.dataset, ev.scale, ev.root = "fixture", 2, str(tmp_path)
+    from studiosr_tpu.data import PairedImageDataset
+
+    ev.testset = PairedImageDataset(str(hr_dir), str(lr_dir))
+
+    want = ev.run(model.inference)
+    fetches = {"n": 0}
+    orig = type(model).inference
+
+    def counting_inference(self, image):
+        fetches["n"] += 1
+        return orig(self, image)
+
+    type(model).inference = counting_inference
+    try:
+        got = ev.run(model, on_device=True)
+    finally:
+        type(model).inference = orig
+    assert fetches["n"] == 0, "on-device route must not fetch SR images"
+    assert abs(got[0] - want[0]) < 1e-4
+    assert abs(got[1] - want[1]) < 1e-4
+
+
+@needs_fixture
+def test_trainer_evaluate_on_device_flag(tmp_path):
+    """Trainer._eval_on_device: explicit flag wins; auto mode requires one of
+    our evaluators (a custom evaluator only guarantees run(func))."""
+    from studiosr_tpu.engine import Trainer
+    from studiosr_tpu.engine.evaluator import Evaluator2
+    from studiosr_tpu.models import EDSR
+
+    class Pairs:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            rng = np.random.default_rng(idx)
+            gt = rng.random((16, 16, 3), dtype=np.float32)
+            return gt[::2, ::2], gt
+
+    class CustomEvaluator:
+        def run(self, func):
+            return 1.0, 1.0
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    t = Trainer(model, Pairs(), CustomEvaluator(), batch_size=2, max_iters=1,
+                ckpt_path=str(tmp_path), bfloat16=False)
+    assert t._eval_on_device() is False  # custom evaluator -> host route
+
+    t.eval_on_device = True
+    assert t._eval_on_device() is True
+
+    ev = Evaluator2.__new__(Evaluator2)
+    t2 = Trainer(model, Pairs(), ev, batch_size=2, max_iters=1,
+                 ckpt_path=str(tmp_path), bfloat16=False, eval_on_device=False)
+    assert t2._eval_on_device() is False  # explicit off wins on any backend
