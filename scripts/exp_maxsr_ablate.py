@@ -82,6 +82,11 @@ def main() -> None:
             # trace-time knob in the model (flax compact __call__ cannot be
             # monkeypatched with a param-creating function — wrong scope)
             out[(mx, "ABLATE_BIAS")] = True
+        if "dw_diag" in ab:
+            out[(mx, "DW_IMPL")] = "diag_dense"
+        inner = ab & {"dw", "expand", "project", "bn"}
+        if inner:
+            out[(mx, "MBCONV_ABLATE")] = frozenset(inner)
         return out
 
     variants = [
@@ -94,9 +99,18 @@ def main() -> None:
         ("no SE gates", frozenset({"se"})),
         ("no MBConv", frozenset({"mbconv"})),
         ("stem+HFFB+tail only", frozenset({"mbconv", "pair"})),
+        # MBConv-internal dissection (trace-time knobs in the model):
+        ("mb: no depthwise conv", frozenset({"dw"})),
+        ("mb: no expand 1x1", frozenset({"expand"})),
+        ("mb: no project 1x1", frozenset({"project"})),
+        ("mb: no BatchNorms", frozenset({"bn"})),
+        # Exact-math candidate: depthwise as diagonal dense MXU conv.
+        ("mb: dw_diag_dense (exact)", frozenset({"dw_diag"})),
     ]
     originals = {
         (mx, "ABLATE_BIAS"): False,
+        (mx, "MBCONV_ABLATE"): frozenset(),
+        (mx, "DW_IMPL"): "depthwise",
         (wa, "window_attention_pallas"): orig_wa,
         (mx, "attention_core"): orig_attn_core,
         (mx.MBConv, "__call__"): orig_mbconv,

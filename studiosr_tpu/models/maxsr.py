@@ -41,6 +41,31 @@ __all__ = ["MaxSR", "MaxSRModule"]
 # pre-gathered bias table could save per forward. Re-jit after flipping.
 ABLATE_BIAS = False
 
+# MBConv-internal dissection knobs (timing-only, wrong math): subset of
+# {"dw", "expand", "project", "bn"} — each drops that stage, shapes kept.
+MBCONV_ABLATE: frozenset = frozenset()
+
+# Depthwise-conv implementation (exact same math both ways):
+#   "depthwise"  — XLA grouped conv (feature_group_count=hidden);
+#   "diag_dense" — dense 3x3 conv whose weight is the depthwise kernel on
+#                  the channel diagonal (W[kh,kw,ci,co] = k[kh,kw,0,co] if
+#                  ci==co else 0). The HAN banded-CSAM playbook: XLA sees a
+#                  standard MXU conv instead of a VPU-bound depthwise
+#                  lowering. Parameter tree identical.
+DW_IMPL = "depthwise"
+
+# Serving-route knob: True routes enable_fused serving through the
+# map-level fused blocks (the fused_train primals). Measured 199.6 ms vs
+# 103.9 at the 256x256 x4 sweep shape (round 4) — the adaptive re-basing
+# and grid-shuffle passes lose more than the fusion saves; OFF by default.
+MAP_FUSED_SERVING = False
+
+# True routes the serving feed-forward (PreNorm MLP on tokens) through the
+# fused MLP Pallas kernel while keeping the token-path attention route.
+# Measured 226.4 ms vs the unchanged route's 95.7 in the same session
+# (round 4) — decisively worse at MaxSR's (B', 64, 128) token shapes; OFF.
+FF_FUSED_SERVING = False
+
 
 class SqueezeExcitation(nn.Module):
     """Mean-pool gate with two bias-free Dense layers (``maxsr.py:58-73``)."""
@@ -59,6 +84,33 @@ class SqueezeExcitation(nn.Module):
         return x * g[:, None, None, :]
 
 
+class _DWDiagDense(nn.Module):
+    """Depthwise 3x3 conv computed as a dense MXU conv with the kernel on
+    the channel diagonal — exact same math and parameter tree as the
+    grouped conv (kernel (3,3,1,C), bias (C,)), but XLA sees a standard
+    conv instead of the depthwise lowering. HAN's banded-CSAM trick
+    (models/han.py); A/B'd via ``DW_IMPL`` in exp_maxsr_ablate.py."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.hidden)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,))
+        eye = jnp.eye(self.hidden, dtype=kernel.dtype)
+        wd = kernel[:, :, 0, None, :] * eye[None, None]
+        out = jax.lax.conv_general_dilated(
+            y,
+            wd.astype(y.dtype),
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(y.dtype)
+
+
 class MBConv(nn.Module):
     """Inverted-bottleneck conv with SE gate and residual (``maxsr.py:103-122``).
 
@@ -75,15 +127,29 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.expansion_rate * self.dim)
-        y = conv(hidden, 1, name="fn.0")(x)
-        y = BatchNorm(use_running_average=not train, name="fn.1")(y)
+        ab = MBCONV_ABLATE
+        if "expand" in ab:  # timing-only: shape-preserving no-dot stand-in
+            y = jnp.tile(x, (1, 1, 1, hidden // x.shape[-1]))
+        else:
+            y = conv(hidden, 1, name="fn.0")(x)
+        if "bn" not in ab:
+            y = BatchNorm(use_running_average=not train, name="fn.1")(y)
         y = gelu(y)
-        y = conv(hidden, 3, feature_group_count=hidden, name="fn.3")(y)
-        y = BatchNorm(use_running_average=not train, name="fn.4")(y)
+        if "dw" not in ab:
+            if DW_IMPL == "diag_dense":
+                y = _DWDiagDense(hidden, name="fn.3")(y)
+            else:
+                y = conv(hidden, 3, feature_group_count=hidden, name="fn.3")(y)
+        if "bn" not in ab:
+            y = BatchNorm(use_running_average=not train, name="fn.4")(y)
         y = gelu(y)
         y = SqueezeExcitation(hidden, self.shrinkage_rate, name="fn.6")(y)
-        y = conv(self.dim, 1, name="fn.7")(y)
-        y = BatchNorm(use_running_average=not train, name="fn.8")(y)
+        if "project" in ab:
+            y = y[..., : self.dim]
+        else:
+            y = conv(self.dim, 1, name="fn.7")(y)
+        if "bn" not in ab:
+            y = BatchNorm(use_running_average=not train, name="fn.8")(y)
         if train and self.dropout > 0.0:
             # Dropsample: per-sample stochastic residual drop (``maxsr.py:76-90``).
             keep = 1.0 - self.dropout
@@ -287,7 +353,13 @@ class _AttentionPair(nn.Module):
         attn_name = "1" if self.static else "attention"
         ff_name = "2" if self.static else "feedforward"
 
-        if self.fused_train and wh == ww:
+        # Map-level fused path: attention (LN+qkv+scores+AV+proj, one VMEM
+        # pass) + fused MLP kernel — the fused TRAINING route (custom VJPs).
+        # MEASURED NOT A SERVING WIN (round 4): routing serving through it
+        # read 199.6 ms vs 103.9 at the sweep shape — the adaptive mode's
+        # re-basing passes and the grid-shuffle transposes cost more than
+        # the LN/qkv/proj fusion saves (MAP_FUSED_SERVING knob to re-probe).
+        if (self.fused_train or (self.fused and MAP_FUSED_SERVING)) and wh == ww:
             from studiosr_tpu.models.swinir import _LayerNormParams
             from studiosr_tpu.ops.attn_vjp import attention_map_vjp
             from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
@@ -346,8 +418,22 @@ class _AttentionPair(nn.Module):
             name=f"{attn_name}.fn",
         )(y)
         tokens = tokens + y
-        y = LayerNorm(name=f"{ff_name}.norm")(tokens)
-        tokens = tokens + _FeedForward(self.dim, name=f"{ff_name}.fn")(y)
+        if self.fused and FF_FUSED_SERVING:
+            # Fused MLP kernel on flattened token rows: LN + fc + gelu + fc
+            # + residual in one VMEM pass (same parameter tree as the
+            # LayerNorm/_FeedForward modules below; the mlp_block_vjp primal
+            # runs the kernel on TPU, XLA math on CPU).
+            from studiosr_tpu.models.swinir import _LayerNormParams
+            from studiosr_tpu.ops.pallas.mlp_vjp import mlp_block_vjp
+
+            bp, n, c = tokens.shape
+            s2, b2 = _LayerNormParams(c, name=f"{ff_name}.norm")()
+            w1, fb1, w2, fb2 = _FFRawParams(self.dim, name=f"{ff_name}.fn")()
+            flat = mlp_block_vjp(tokens.reshape(bp * n, c), s2, b2, w1, fb1, w2, fb2)
+            tokens = flat.reshape(bp, n, c)
+        else:
+            y = LayerNorm(name=f"{ff_name}.norm")(tokens)
+            tokens = tokens + _FeedForward(self.dim, name=f"{ff_name}.fn")(y)
         return reverse(tokens, grid_shape, wh, ww)
 
 

@@ -28,6 +28,11 @@ import jax.numpy as jnp
 
 __all__ = ["attention_block_vjp", "attention_map_vjp"]
 
+# Test hook: force the fused-kernel branch on the CPU backend (kernels run
+# in interpret mode) so engagement and interpret-parity of the map-level
+# fused path are observable in the CPU suite. Production never sets this.
+FORCE_FUSED = False
+
 
 def _ln_stats(x32, eps=1e-5):
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -204,14 +209,15 @@ def _apply_dp(x, full, dp_scales):
 
 def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, heads, ws):
     out = None
-    if jax.default_backend() != "cpu":
+    on_cpu = jax.default_backend() == "cpu"
+    if FORCE_FUSED or not on_cpu:
         from studiosr_tpu.ops.pallas.swin_block import fused_window_attention_block
 
         z0 = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
         try:
             z = fused_window_attention_block(
                 z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
-                heads=heads, window_size=ws, drop_path=dp_scales,
+                heads=heads, window_size=ws, drop_path=dp_scales, interpret=on_cpu,
             )
             if z is not None:
                 out = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z
@@ -220,7 +226,7 @@ def _map_fwd(x, s, b, wqkv, bqkv, wproj, bproj, bias, mask, dp_scales, shift, he
             # the kernel: still run the fused forward, scale outside.
             z = fused_window_attention_block(
                 z0, s, b, wqkv.astype(z0.dtype), bqkv, wproj.astype(z0.dtype), bproj, bias, mask,
-                heads=heads, window_size=ws,
+                heads=heads, window_size=ws, interpret=on_cpu,
             )
             if z is not None:
                 full = jnp.roll(z, (shift, shift), axis=(1, 2)) if shift else z

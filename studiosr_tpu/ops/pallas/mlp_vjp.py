@@ -28,6 +28,11 @@ from studiosr_tpu.ops.pallas.swin_block import _erf
 
 __all__ = ["mlp_block_vjp", "mlp_block_dp_vjp"]
 
+# Test hook: force the fused-kernel branch on the CPU backend (interpret
+# mode) so engagement/parity of the fused primal is observable in the CPU
+# suite. Production never sets this.
+FORCE_FUSED = False
+
 _INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 _INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
 
@@ -127,13 +132,16 @@ def mlp_block_vjp(x, s, b, w1, b1, w2, b2):
 
 
 def _fwd(x, s, b, w1, b1, w2, b2):
-    if jax.default_backend() == "cpu":
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu and not FORCE_FUSED:
         out = _reference_forward(x, s, b, w1, b1, w2, b2)
     else:
         # Identical math, single VMEM-resident pass (ops/pallas/swin_block.py).
         from studiosr_tpu.ops.pallas.swin_block import fused_mlp_block
 
-        out = fused_mlp_block(x, s, b, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2)
+        out = fused_mlp_block(
+            x, s, b, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, interpret=on_cpu
+        )
     return out, (x, s, b, w1, b1, w2, b2)
 
 

@@ -132,10 +132,12 @@ def test_fused_engaged_with_serving_prep_at_bench_shape():
 
 
 def test_maxsr_fused_attention_engaged_at_bench_shape():
-    """MaxSR adaptive x4 at 256x256 (sweep shape): all 32 attention pairs
-    must route through the fused Pallas attention kernel when enable_fused
-    is on — the XLA path's HBM-materialized f32 scores were ~60 of 127 ms
-    (scripts/exp_maxsr_ablate.py)."""
+    """MaxSR adaptive x4 at 256x256 (sweep shape): with enable_fused on,
+    all 32 attention pairs route through the fused Pallas attention kernel
+    (VMEM-resident scores — the XLA path's HBM f32 score maps were ~60 of
+    127 ms). The round-4 alternatives (map-level fused blocks, fused-MLP
+    feed-forward) measured decisively slower and default OFF; see
+    STATUS.md round-4 MaxSR verdicts."""
     import jax.numpy as jnp
 
     from studiosr_tpu.models.maxsr import MaxSR
