@@ -30,6 +30,37 @@ def test_swinfir_parity():
     assert_parity(ref, ours, hw=(20, 24), atol=1e-3)
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_swinfir_full_geometry_parity():
+    """Full published geometry (embed 180, depths [6]x6 — reference
+    ``swinfir.py:83-98``) at a non-window-multiple eval size, plain +
+    fused-interpret: the 180-dim SFB spectral branch and padding paths of
+    the real checkpoints (companion to the SwinIR classical / HAT tests)."""
+    import torch
+
+    from studiosr_tpu.zoo import translate_state_dict
+
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref = studiosr.models.swinfir.SwinFIR(scale=4).eval()
+    ours = SwinFIR.build(scale=4)
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    ours.variables, report = translate_state_dict(state, ours.variables)
+    assert not report.missing, f"missing params: {report.missing}"
+
+    x = np.random.default_rng(4).standard_normal((1, 20, 24, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got_plain = np.asarray(ours(x))
+    np.testing.assert_allclose(got_plain, want, atol=1e-3, rtol=1e-3)
+
+    ours.enable_fused(True)
+    got_fused = np.asarray(ours(x))
+    np.testing.assert_allclose(got_fused, want, atol=1e-3, rtol=1e-3)
+
+
 def test_mxu_dft_path_matches_fft_on_cpu(monkeypatch):
     """The MXU-DFT SFB wiring (the TPU serving/training branch) pinned
     offline: FORCE_MXU routes the CPU backend through rfft2_mxu/irfft2_mxu
