@@ -28,7 +28,11 @@ def _walk_image_paths(root: str, skip_dir: str) -> list:
 
 def main() -> None:
     from studiosr_tpu.models import EDSR, HAN, HAT, RCAN, VDSR, SwinIR
-    from studiosr_tpu.utils import imread, imwrite
+    from studiosr_tpu.utils import enable_compilation_cache, imread, imwrite
+
+    # Persistent XLA cache: repeated CLI runs (and the many distinct image
+    # shapes of a directory walk) skip the 30s+ accelerator compiles.
+    enable_compilation_cache()
 
     models = dict(
         vdsr=VDSR,

@@ -207,6 +207,11 @@ class Trainer:
     # -- main loop ----------------------------------------------------------
 
     def run(self) -> None:
+        from studiosr_tpu.utils import enable_compilation_cache
+
+        # Persistent XLA cache: restarts (the §5 failure-recovery model) and
+        # eval's many distinct image shapes skip recompiles.
+        enable_compilation_cache()
         print(f"device: {jax.default_backend()} x{len(jax.devices())}  bf16: {self.bfloat16}")
 
         # normalize=False: uint8 samples stay uint8 across the host boundary

@@ -219,3 +219,26 @@ def test_imdn_parity():
     ref = studiosr.models.imdn.IMDN(scale=4, n_feats=16, n_modules=6)
     ours = IMDN.build(scale=4, n_feats=16, n_modules=6)
     assert_parity(ref, ours)
+
+
+@pytestmark_ref
+@pytest.mark.parametrize("name", ["edsr", "rcan", "han"])
+def test_conv_models_full_geometry_parity(name):
+    """Published-checkpoint geometry (the reference classes' defaults:
+    EDSR 256x32, RCAN/HAN 64ch 10x20 trunks) at a non-scale-multiple eval
+    size — the configuration every ``from_pretrained`` checkpoint actually
+    loads into (companion to the transformer full-geometry tests)."""
+    import torch
+
+    from studiosr_tpu.models import EDSR
+
+    from tests.models.parity import assert_parity
+    from tests.reference_loader import load_reference
+
+    studiosr = load_reference()
+    torch.manual_seed(0)
+    ref_cls = getattr(getattr(studiosr.models, name), name.upper())
+    ours_cls = {"edsr": EDSR, "rcan": RCAN, "han": HAN}[name]
+    ref = ref_cls(scale=4)
+    ours = ours_cls.build(scale=4)
+    assert_parity(ref, ours, hw=(20, 24), atol=1e-3, rtol=1e-3)
