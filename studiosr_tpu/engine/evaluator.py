@@ -128,8 +128,9 @@ class Evaluator(_EvaluatorBase):
         scale: int = 4,
         y_only: bool = True,
         datasets: List[str] = ["Set5", "Set14", "BSD100", "Urban100", "Manga109"],
+        on_device: bool = False,
     ) -> Tuple[List[float], List[float]]:
-        return _benchmark_table(Evaluator, func, scale, y_only, datasets)
+        return _benchmark_table(Evaluator, func, scale, y_only, datasets, on_device)
 
 
 class Evaluator2(_EvaluatorBase):
@@ -160,11 +161,11 @@ class Evaluator2(_EvaluatorBase):
         return benchmark_path
 
 
-def _benchmark_table(evaluator_cls, func, scale, y_only, datasets):
+def _benchmark_table(evaluator_cls, func, scale, y_only, datasets, on_device=False):
     log_data, log_line, log_psnr, log_ssim = "| Metric |", "| ------ |", "|   PSNR |", "|   SSIM |"
     psnr_list, ssim_list = [], []
     for dataset in datasets:
-        psnr, ssim = evaluator_cls(dataset, scale).run(func, y_only, logging=True)
+        psnr, ssim = evaluator_cls(dataset, scale).run(func, y_only, logging=True, on_device=on_device)
         log_data += " %10s |" % dataset
         log_line += " ---------- |"
         log_psnr += " %10.3f |" % psnr
@@ -184,6 +185,10 @@ def benchmark(
     scale: int = 4,
     y_only: bool = True,
     datasets: List[str] = ["Set5", "Set14", "BSD100", "Urban100"],
+    on_device: bool = False,
 ) -> Tuple[List[float], List[float]]:
-    """Module-level sweep over the Evaluator2 layout (``evaluator.py:201-228``)."""
-    return _benchmark_table(Evaluator2, func, scale, y_only, datasets)
+    """Module-level sweep over the Evaluator2 layout (``evaluator.py:201-228``).
+
+    ``on_device=True`` with a Model (not a bare callable) scores each image
+    chip-resident (one program, two scalars fetched)."""
+    return _benchmark_table(Evaluator2, func, scale, y_only, datasets, on_device)
