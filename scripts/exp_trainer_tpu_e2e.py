@@ -100,6 +100,34 @@ def main() -> None:
     m.half().enable_fused(True)
     out = m.inference(ev.img)
     assert out.shape == (192, 192, 3)
+
+    # Chip-resident eval route (round 4): with one of OUR evaluators the
+    # Trainer defaults to the one-program pair eval on TPU — verify the
+    # auto-selection and host-protocol agreement on the real chip.
+    import numpy as np
+
+    from studiosr_tpu.data import PairedImageDataset
+    from studiosr_tpu.engine.evaluator import Evaluator2
+    from studiosr_tpu.utils.helpers import imwrite
+
+    evroot = "/tmp/tpu_e2e_eval"
+    shutil.rmtree(evroot, ignore_errors=True)
+    hr_dir = os.path.join(evroot, "HR")
+    lr_dir = os.path.join(evroot, "LR_bicubic", "X4")
+    os.makedirs(hr_dir), os.makedirs(lr_dir)
+    for i in range(2):
+        imwrite(os.path.join(hr_dir, f"im{i}.png"), (dataset.gt[i] * 255).astype(np.uint8))
+        imwrite(os.path.join(lr_dir, f"im{i}.png"), (dataset.lq[i] * 255).astype(np.uint8))
+    ev2 = Evaluator2.__new__(Evaluator2)
+    ev2.dataset, ev2.scale, ev2.root = "fixture", 4, evroot
+    ev2.testset = PairedImageDataset(hr_dir, lr_dir)
+    trainer2.evaluator = ev2
+    assert trainer2._eval_on_device(), "our evaluator on TPU must take the on-device route"
+    dev_psnr, dev_ssim = trainer2.evaluate()
+    host_psnr, host_ssim = ev2.run(trainer2.model.inference)
+    d_psnr, d_ssim = abs(dev_psnr - host_psnr), abs(dev_ssim - host_ssim)
+    print(f"on-device eval: {dev_psnr:.4f}/{dev_ssim:.5f} host: {host_psnr:.4f}/{host_ssim:.5f}", flush=True)
+    assert d_psnr < 1e-3 and d_ssim < 1e-3, (d_psnr, d_ssim)
     print("TPU end-to-end Trainer: OK", flush=True)
 
 
