@@ -222,12 +222,13 @@ def test_imdn_parity():
 
 
 @pytestmark_ref
-@pytest.mark.parametrize("name", ["edsr", "rcan", "han"])
+@pytest.mark.parametrize("name", ["edsr", "rcan", "han", "imdn", "srresnet"])
 def test_conv_models_full_geometry_parity(name):
     """Published-checkpoint geometry (the reference classes' defaults:
-    EDSR 256x32, RCAN/HAN 64ch 10x20 trunks) at a non-scale-multiple eval
-    size — the configuration every ``from_pretrained`` checkpoint actually
-    loads into (companion to the transformer full-geometry tests)."""
+    EDSR 256x32, RCAN/HAN 64ch 10x20 trunks, IMDN 64x6, SRResNet 64x16) at
+    a non-scale-multiple eval size — the configuration every
+    ``from_pretrained`` checkpoint actually loads into (companion to the
+    transformer full-geometry tests)."""
     import torch
 
     from studiosr_tpu.models import EDSR
@@ -237,8 +238,14 @@ def test_conv_models_full_geometry_parity(name):
 
     studiosr = load_reference()
     torch.manual_seed(0)
-    ref_cls = getattr(getattr(studiosr.models, name), name.upper())
-    ours_cls = {"edsr": EDSR, "rcan": RCAN, "han": HAN}[name]
+    ref_cls = getattr(getattr(studiosr.models, name), {"srresnet": "SRResNet"}.get(name, name.upper()))
+    ours_cls = {"edsr": EDSR, "rcan": RCAN, "han": HAN, "imdn": IMDN, "srresnet": SRResNet}[name]
     ref = ref_cls(scale=4)
     ours = ours_cls.build(scale=4)
-    assert_parity(ref, ours, hw=(20, 24), atol=1e-3, rtol=1e-3)
+    # SRResNet at random init runs eval-mode BatchNorm with untrained
+    # running stats: activations explode to O(3000) over the 16-block trunk
+    # and f32 reassociation noise scales with them. atol 0.3 ≈ 1e-4 of the
+    # output magnitude — the same relative precision as the others' 1e-3
+    # at O(10) outputs (trained checkpoints have bounded activations).
+    atol = 0.3 if name == "srresnet" else 1e-3
+    assert_parity(ref, ours, hw=(20, 24), atol=atol, rtol=1e-3)
