@@ -292,6 +292,31 @@ def make_maxsr_fixture(iters: int = 1500) -> None:
     )
 
 
+def make_rcan_fixture(iters: int = 2000) -> None:
+    """RCAN-tiny x4: trained-weights floor for the conv-family linen/XLA
+    serving path with the channel-attention gate (round 4 — the conv
+    models previously had golden parity but no trained quality floor)."""
+    from studiosr_tpu.models import RCAN
+
+    make_fixture(
+        lambda: RCAN.build(scale=4, n_feats=24, n_resblocks=2, n_resgroups=2),
+        "RCAN-tiny x4", "rcan_ckpt",
+        scale=4, seed=12, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
+def make_imdn_fixture(iters: int = 2000) -> None:
+    """IMDN-tiny x4: trained-weights floor for the channel-split
+    distillation trunk + CCA contrast gate."""
+    from studiosr_tpu.models import IMDN
+
+    make_fixture(
+        lambda: IMDN.build(scale=4, n_feats=24, n_modules=6),
+        "IMDN-tiny x4", "imdn_ckpt",
+        scale=4, seed=13, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
 if __name__ == "__main__":
     if "--swinir" in sys.argv:
         make_swinir_fixture()
@@ -309,5 +334,9 @@ if __name__ == "__main__":
         make_hat_s_fixture(2)
     elif "--hat-x3" in sys.argv:
         make_hat_s_fixture(3)
+    elif "--rcan" in sys.argv:
+        make_rcan_fixture()
+    elif "--imdn" in sys.argv:
+        make_imdn_fixture()
     else:
         main()

@@ -244,3 +244,28 @@ def test_hat_trained_fused_tail_quality_x2_x3(scale):
     _assert_fused_quality_floors(
         lambda: _load_fixture_pairs(ckpt, "hat", f"_lrx{scale}", mod_crop=scale)
     )
+
+
+@pytest.mark.parametrize("name,subdir", [("rcan", "rcan_ckpt"), ("imdn", "imdn_ckpt")])
+def test_conv_trained_quality_floors(name, subdir):
+    """Trained-weights PSNR floors for the conv families' linen/XLA serving
+    path (RCAN's channel-attention trunk, IMDN's distillation splits +
+    CCA): plain f32 beats bicubic by >2 dB; bf16 serving stays within
+    0.5 dB of f32 and still clearly beats bicubic (round 4 — the conv
+    models previously had golden parity but no trained quality floor)."""
+    from studiosr_tpu.utils.metrics import compute_psnr
+
+    ckpt = os.path.join(FIXTURES, subdir)
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip(f"{name} quality fixture not generated")
+    model, pairs = _load_fixture_pairs(ckpt, name, "_lrx4")
+    for lr, hr in pairs:
+        plain = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert plain > bicubic + 2.0, f"plain {plain:.2f} vs bicubic {bicubic:.2f}"
+
+    model.half()
+    for lr, hr in pairs:
+        bf16 = compute_psnr(model.inference(lr), hr)
+        bicubic = compute_psnr(_bicubic_up(lr, *hr.shape[:2]), hr)
+        assert bf16 > bicubic + 1.5, f"bf16 {bf16:.2f} vs bicubic {bicubic:.2f}"
