@@ -124,3 +124,30 @@ def test_trainer_evaluate_on_device_flag(tmp_path):
     t2 = Trainer(model, Pairs(), ev, batch_size=2, max_iters=1,
                  ckpt_path=str(tmp_path), bfloat16=False, eval_on_device=False)
     assert t2._eval_on_device() is False  # explicit off wins on any backend
+
+
+def test_evaluate_uint8_threads_fused_serving_path():
+    """evaluate_uint8 on a fused-enabled model must run the SAME serving
+    configuration as inference (fused kernels + pre-laid weights thread
+    through the pair program), so eval scores exactly what serving ships."""
+    import os
+
+    import pytest
+
+    from studiosr_tpu.utils.metrics import compute_psnr, compute_ssim
+
+    ckpt = os.path.join(FIXTURES, "swinir_ckpt")
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip("swinir quality fixture not generated")
+    from studiosr_tpu.utils.helpers import imread
+    from studiosr_tpu.zoo.registry import load_model
+
+    model = load_model(ckpt, "swinir", tag="best").enable_fused(True)
+    lr = imread(os.path.join(FIXTURES, "img0_lrx4.png"))
+    hr = imread(os.path.join(FIXTURES, "img0_hr.png"))
+    sr = model.inference(lr)  # fused serving output (interpret mode on CPU)
+    want_psnr = compute_psnr(sr, hr, crop_border=4, y_only=True)
+    want_ssim = compute_ssim(sr, hr, crop_border=4, y_only=True)
+    got_psnr, got_ssim = model.evaluate_uint8(lr, hr, crop_border=4, y_only=True)
+    assert abs(got_psnr - want_psnr) < 1e-4, (got_psnr, want_psnr)
+    assert abs(got_ssim - want_ssim) < 1e-4, (got_ssim, want_ssim)
