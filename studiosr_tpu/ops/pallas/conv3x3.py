@@ -148,7 +148,7 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, *, activati
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, res_scale):
+def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, res_scale, activation="relu"):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -160,9 +160,9 @@ def _resblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref
     xp = _col_pad(x, 8)  # (t+4, W+16, C): 8-col zero pads keep every stage's
     # dot width a sublane multiple (see _conv9 alignment discipline).
     # h1 cols [-4, W+4): xp index c+8 is image col c.
-    h1 = jnp.maximum(_conv3_stacked(xp, w1_ref, b1_ref[0], t + 2, w_img + 8, 3, cp1), 0.0)
+    h1 = _act(_conv3_stacked(xp, w1_ref, b1_ref[0], t + 2, w_img + 8, 3, cp1), activation)
     # Out-of-image h1 values must be zero for conv2's zero padding
-    # (relu(b1) may be nonzero at the zero-padded borders — mask explicitly).
+    # (act(b1) may be nonzero at the zero-padded borders — mask explicitly).
     rg = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
     ok_r = (rg >= 0) & (rg < pl.num_programs(1) * t)
     cg = jax.lax.broadcasted_iota(jnp.int32, (1, h1.shape[1], 1), 1) - 4
@@ -262,12 +262,14 @@ def fused_conv3x3(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("res_scale", "band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("res_scale", "band", "activation", "prepped", "interpret"))
 def fused_resblock(
     x: jnp.ndarray,  # (B, H, W, C)
     w1, b1, w2, b2,
     res_scale: float = 1.0,
     band: int = 8,  # band 16 VMEM-OOMs in Mosaic's scoped stack (35 MB)
+    activation: str = "relu",  # "lrelu0.2" for SwinFIR's SFB spatial branch
+    prepped: bool = False,  # w1/w2 already in prepare_conv3x3_weights layout
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -283,16 +285,22 @@ def fused_resblock(
         # _band_specs' 2-row halo blocks need hgt and the band both even:
         # t // halo == 0 degenerates the neighbor index maps to block 0 and
         # the kernel silently computes garbage at every band boundary.
+        # Fall back to the two-pass streaming convs (handles prepped too).
         engagement.fallback("fused_resblock", f"odd height {hgt}: halo-2 band layout needs 2-row alignment")
-        h1 = jnp.maximum(_xla_conv3(x, w1, b1), 0)
-        return x + jnp.asarray(res_scale, x.dtype) * _xla_conv3(h1, w2, b2)
+        h1 = fused_conv3x3(x, w1, b1, activation=activation, prepped=prepped, interpret=interpret)
+        y = fused_conv3x3(h1, w2, b2, prepped=prepped, interpret=interpret)
+        return x + jnp.asarray(res_scale, x.dtype) * y
     engagement.engaged("fused_resblock")
     grid = (bsz, hgt // t)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_resblock_kernel, res_scale=res_scale)
+    kernel = functools.partial(_resblock_kernel, res_scale=res_scale, activation=activation)
     cp = ((c + 127) // 128) * 128
-    w1s = _stack_weights(w1, cp).astype(x.dtype)
-    w2s = _stack_weights(w2, cp).astype(x.dtype)
+    if prepped:
+        w1s, w2s = w1, w2
+        assert w1s.shape == (3, 3 * cp, c), (w1s.shape, cp)
+    else:
+        w1s = _stack_weights(w1, cp).astype(x.dtype)
+        w2s = _stack_weights(w2, cp).astype(x.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,

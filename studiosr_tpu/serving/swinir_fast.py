@@ -160,17 +160,24 @@ def _residual_conv(x, p, interpret=False, extra=None, prep_w=None):
         return fused_conv3x3(x, p["kernel"].astype(x.dtype), p["bias"], extra=extra, interpret=interpret)
     # SFB (models/swinfir.py): keys S / F / fusion.
     if SFB_STREAM_S:
-        # The S-branch 3x3 convs are the identical situation to the RSTB
-        # conv (same map shape/dtype/position between fused block kernels)
-        # where the streaming kernel measured 1.64 vs 2.34 ms.
+        # The S-branch conv-lrelu-conv-residual runs as ONE streaming
+        # resblock kernel pass (round 4; previously two fused_conv3x3
+        # passes + a standalone XLA residual add = 3 map round-trips).
+        from studiosr_tpu.ops.pallas.conv3x3 import fused_resblock
+
         s0 = p["S"]["body.0"]
         s2 = p["S"]["body.2"]
         if prep_w is not None:
-            s = fused_conv3x3(x, prep_w["s0"], s0["bias"], activation="lrelu0.2", prepped=True, interpret=interpret)
-            s = fused_conv3x3(s, prep_w["s2"], s2["bias"], prepped=True, interpret=interpret) + x
+            s = fused_resblock(
+                x, prep_w["s0"], s0["bias"], prep_w["s2"], s2["bias"],
+                activation="lrelu0.2", prepped=True, interpret=interpret,
+            )
         else:
-            s = fused_conv3x3(x, s0["kernel"].astype(x.dtype), s0["bias"], activation="lrelu0.2", interpret=interpret)
-            s = fused_conv3x3(s, s2["kernel"].astype(x.dtype), s2["bias"], interpret=interpret) + x
+            s = fused_resblock(
+                x, s0["kernel"].astype(x.dtype), s0["bias"],
+                s2["kernel"].astype(x.dtype), s2["bias"],
+                activation="lrelu0.2", interpret=interpret,
+            )
     else:
         s = _conv(x, p["S"]["body.0"])
         s = jax.nn.leaky_relu(s, 0.2)

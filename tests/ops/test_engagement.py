@@ -329,6 +329,6 @@ def test_swinfir_fused_engaged_at_bench_shape():
         swinir_fast_forward, model.variables, (1, 256, 256, 3), jnp.bfloat16, model.config
     )
     _assert_engaged(
-        counts, ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4", "mask_rows2"]
+        counts, ["fused_swin_block", "swin_shift_fold", "fused_resblock", "fused_upsample_x4", "mask_rows2"]
     )
     assert "fused_window_attention_block" not in counts, counts
