@@ -127,3 +127,42 @@ def test_fused_cab_body_odd_height_falls_back_correctly():
     assert rec.get("fallback", 0) >= 1, rec
     np.testing.assert_allclose(np.asarray(y2), np.asarray(want_y2), atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(csum), np.asarray(want_sum), atol=2e-3, rtol=1e-3)
+
+
+def test_fused_resblock_lrelu_and_prepped_matches_xla():
+    """Round-4 SFB options: activation="lrelu0.2" + prepped weights (the
+    prepare_serving layout) — the one-pass S-branch configuration."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.ops.pallas.conv3x3 import fused_resblock, prepare_conv3x3_weights
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 32, 24, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+
+    h1 = _xla_conv(x, w1, b1)
+    h1 = jnp.where(h1 >= 0, h1, 0.2 * h1)
+    want = x + _xla_conv(h1, w2, b2)
+
+    got = fused_resblock(x, w1, b1, w2, b2, activation="lrelu0.2", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    w1p = prepare_conv3x3_weights(w1, x.dtype)
+    w2p = prepare_conv3x3_weights(w2, x.dtype)
+    got_p = fused_resblock(x, w1p, b1, w2p, b2, activation="lrelu0.2", prepped=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # Odd height + prepped: the fallback must handle the stacked layout too.
+    x_odd = x[:, :31]
+    from studiosr_tpu.ops.pallas import engagement
+
+    engagement.reset()
+    h1o = _xla_conv(x_odd, w1, b1)
+    h1o = jnp.where(h1o >= 0, h1o, 0.2 * h1o)
+    want_odd = x_odd + _xla_conv(h1o, w2, b2)
+    got_odd = fused_resblock(x_odd, w1p, b1, w2p, b2, activation="lrelu0.2", prepped=True, interpret=True)
+    assert engagement.counters().get("fused_resblock", {}).get("fallback", 0) >= 1
+    np.testing.assert_allclose(np.asarray(got_odd), np.asarray(want_odd), atol=2e-5, rtol=1e-4)
