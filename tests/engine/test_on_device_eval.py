@@ -151,3 +151,21 @@ def test_evaluate_uint8_threads_fused_serving_path():
     got_psnr, got_ssim = model.evaluate_uint8(lr, hr, crop_border=4, y_only=True)
     assert abs(got_psnr - want_psnr) < 1e-4, (got_psnr, want_psnr)
     assert abs(got_ssim - want_ssim) < 1e-4, (got_ssim, want_ssim)
+
+
+@needs_fixture
+def test_evaluate_uint8_scale_indivisible_gt():
+    """Set14-at-x4 shape class: GT not divisible by the scale, so SR is
+    smaller than GT — the in-program crop-to-equal must reproduce the host
+    protocol (reference crops the same way, metrics.py there)."""
+    from studiosr_tpu.utils.metrics import compute_psnr, compute_ssim
+
+    model, pairs = _load()
+    lr, hr = pairs[0]
+    hr_odd = hr[: hr.shape[0] - 3, : hr.shape[1] - 1]  # SR will overhang
+    sr = model.inference(lr)
+    want_psnr = compute_psnr(sr, hr_odd, crop_border=2, y_only=True)
+    want_ssim = compute_ssim(sr, hr_odd, crop_border=2, y_only=True)
+    got_psnr, got_ssim = model.evaluate_uint8(lr, hr_odd, crop_border=2, y_only=True)
+    assert abs(got_psnr - want_psnr) < 1e-4, (got_psnr, want_psnr)
+    assert abs(got_ssim - want_ssim) < 1e-4, (got_ssim, want_ssim)
