@@ -1,0 +1,107 @@
+"""Real 2-process ``jax.distributed`` cluster test (round-4 VERDICT item 2).
+
+Everything else in tests/parallel runs a single-process virtual mesh;
+``parallel/dist.py:initialize`` had never executed. This spawns TWO
+subprocesses that form an actual multi-controller CPU cluster
+(coordinator + worker over localhost gRPC), then asserts:
+
+* both ``dist.initialize`` configuration branches work (rank 0 explicit
+  args, rank 1 the env-var route);
+* topology predicates: ``process_count()==2``, ``is_main_process`` on
+  exactly one process;
+* the two hosts' PrefetchLoader shards are disjoint and covering;
+* one DP train step over the 2-device global mesh — the gradient
+  all-reduce crosses the process boundary — yields IDENTICAL updated
+  params on both processes (the DDP invariant).
+
+The reference never executes its DDP bootstrap in tests
+(``studiosr/data/handler.py:42-57``); this closes the last untested
+production module on our side.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(WORKER))))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _child_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # One CPU device per process => a 2-device global mesh across processes.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # Cross-process CPU collectives need a real implementation.
+    env.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    for stale in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
+        env.pop(stale, None)
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_jax_distributed_cluster():
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = _child_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(rank), coordinator],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    records = {0: {}, 1: {}}
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\nSTDOUT:\n{out}\nSTDERR:\n{err[-4000:]}"
+        for line in out.splitlines():
+            if line.startswith("DIST:"):
+                rec = json.loads(line[5:])
+                records[rec["rank"]][rec["tag"]] = rec
+
+    for rank in (0, 1):
+        assert records[rank].get("done"), f"rank {rank} did not finish: {records[rank]}"
+        assert records[rank]["topology"]["process_count"] == 2
+
+    # is_main_process on exactly one process
+    mains = [records[r]["topology"]["is_main"] for r in (0, 1)]
+    assert mains == [True, False]
+
+    # loader shards: disjoint and covering
+    s0 = set(records[0]["shard"]["indices"])
+    s1 = set(records[1]["shard"]["indices"])
+    assert s0 and s1 and not (s0 & s1), (s0, s1)
+    assert s0 | s1 == set(range(8)), (s0, s1)
+
+    # the two hosts loaded different local batches...
+    assert records[0]["batch"]["lq_sum"] != records[1]["batch"]["lq_sum"]
+
+    # ...but after the cross-process gradient all-reduce, the updated
+    # parameters (and loss, and step counter) are identical on both.
+    st0, st1 = records[0]["step"], records[1]["step"]
+    assert st0["params_digest"] == st1["params_digest"]
+    assert st0["loss"] == pytest.approx(st1["loss"], abs=1e-12)
+    assert st0["step_count"] == st1["step_count"] == 1
