@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This script IS the experimental build the MBCONV_ABLATE guard exists for
+# (models/maxsr.py _mbconv_ablate).
+os.environ["STUDIOSR_EXPERIMENTAL_ABLATIONS"] = "1"
+
 
 def main() -> None:
     import jax

@@ -58,21 +58,15 @@ class _EvaluatorBase:
             lq, gt = self.testset[i]
             if device_pair:
                 psnr, ssim = func.evaluate_uint8(lq, gt, crop_border=crop_border, y_only=y_only)
-                psnrs.append(psnr)
-                ssims.append(ssim)
-                if logging:
-                    print(
-                        f" {self.dataset:>8} - {i + 1:>3}/{len(self.testset):>3} PSNR: {psnr:6.3f}, SSIM: {ssim:6.4f}",
-                        end="\r",
-                    )
-                continue
-            sr = func.inference(lq) if hasattr(func, "inference") else func(lq)
-            if on_device:
-                psnr = float(compute_psnr_jax(sr, gt, crop_border=crop_border, y_only=y_only))
-                ssim = float(compute_ssim_jax(sr, gt, crop_border=crop_border, y_only=y_only))
+                sr = None
             else:
-                psnr = compute_psnr(sr, gt, crop_border=crop_border, y_only=y_only)
-                ssim = compute_ssim(sr, gt, crop_border=crop_border, y_only=y_only)
+                sr = func.inference(lq) if hasattr(func, "inference") else func(lq)
+                if on_device:
+                    psnr = float(compute_psnr_jax(sr, gt, crop_border=crop_border, y_only=y_only))
+                    ssim = float(compute_ssim_jax(sr, gt, crop_border=crop_border, y_only=y_only))
+                else:
+                    psnr = compute_psnr(sr, gt, crop_border=crop_border, y_only=y_only)
+                    ssim = compute_ssim(sr, gt, crop_border=crop_border, y_only=y_only)
             psnrs.append(psnr)
             ssims.append(ssim)
             if logging:
@@ -80,7 +74,7 @@ class _EvaluatorBase:
                     f" {self.dataset:>8} - {i + 1:>3}/{len(self.testset):>3} PSNR: {psnr:6.3f}, SSIM: {ssim:6.4f}",
                     end="\r",
                 )
-            if visualize:
+            if visualize and sr is not None:
                 import cv2
 
                 from studiosr_tpu.utils.compare import compare

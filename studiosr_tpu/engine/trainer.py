@@ -396,11 +396,16 @@ class Trainer:
         A corrupt/truncated checkpoint (pre-atomic-write files, or torn
         non-POSIX filesystems) falls back ``latest`` -> ``best`` so a
         restart still resumes from the last *valid* state instead of
-        crashing the recovery path.
+        crashing the recovery path. A checkpoint whose BYTES are intact but
+        whose tree no longer matches the model (config drift between runs)
+        is NOT "corrupt" — that re-raises, so a mis-configured resume fails
+        loudly instead of silently discarding the intended state.
         """
         try:
             return self._load_tag(file_name)
-        except Exception as e:  # truncated/corrupt msgpack
+        except Exception as e:
+            if self._ckpt_bytes_intact(file_name):
+                raise  # structural mismatch (e.g. model config drift), not file damage
             warnings.warn(f"checkpoint '{file_name}' is corrupt ({e!r})")
             if file_name == "latest":
                 try:
@@ -408,8 +413,27 @@ class Trainer:
                         warnings.warn("resumed from 'best' instead")
                         return True
                 except Exception as e2:
+                    if self._ckpt_bytes_intact("best"):
+                        raise
                     warnings.warn(f"checkpoint 'best' is corrupt too ({e2!r})")
             return False
+
+    def _ckpt_bytes_intact(self, file_name: str) -> bool:
+        """True when every existing checkpoint file of ``file_name`` parses
+        as complete msgpack — i.e. a load failure is a tree/shape mismatch
+        (fail loudly), not truncation/corruption (fall back)."""
+        import msgpack
+
+        for suffix in (".model.ckpt", ".train.ckpt", ".ema.ckpt"):
+            path = os.path.join(self.ckpt_path, file_name + suffix)
+            if not os.path.isfile(path):
+                continue
+            try:
+                with open(path, "rb") as f:
+                    msgpack.unpackb(f.read(), strict_map_key=False)
+            except Exception:
+                return False
+        return True
 
     def _load_tag(self, file_name: str) -> bool:
         from flax import serialization
@@ -423,8 +447,21 @@ class Trainer:
             # build the state skeleton the checkpoint deserializes into.
             self.state = prepare_state(self.model.variables, self.tx, self.mesh, ema_decay=self.ema_decay)
 
+        skeleton = jax.device_get(self._state_variables())
         with open(model_path, "rb") as f:
-            variables = serialization.from_bytes(jax.device_get(self._state_variables()), f.read())
+            variables = serialization.from_bytes(skeleton, f.read())
+        # flax from_bytes only validates tree KEYS; a checkpoint from a
+        # differently-sized config restores wrong-shaped arrays silently and
+        # explodes much later at apply time. Fail here, loudly (ADVICE r4).
+        for (path, r), (_, t) in zip(
+            jax.tree_util.tree_flatten_with_path(variables)[0],
+            jax.tree_util.tree_flatten_with_path(skeleton)[0],
+        ):
+            if np.shape(r) != np.shape(t):
+                raise ValueError(
+                    f"checkpoint shape mismatch at {jax.tree_util.keystr(path)}: "
+                    f"saved {np.shape(r)} vs model {np.shape(t)} — model config drift?"
+                )
         target = dict(
             opt_state=jax.device_get(self.state.opt_state),
             iteration=0,

@@ -316,6 +316,14 @@ class Model(metaclass=_ModelMeta):
 
         cache = getattr(self, "_eval_uint8_cache", None)
         if cache is None or cache[0] is not self._jit_forward:
+            # One program per distinct (LQ, GT) shape pair: a shape-diverse
+            # benchmark set recompiles per image, which on a remote backend
+            # is 30 s-15 min each — make the persistent cache unconditional
+            # here rather than relying on every caller (Trainer/CLI do it;
+            # a standalone Evaluator.run(on_device=True) did not).
+            from studiosr_tpu.utils.helpers import enable_compilation_cache
+
+            enable_compilation_cache()
 
             def _eval(v, lq, gt, p=None, *, crop_border, y_only):
                 sr = self._forward_uint8(v, lq, sharded=False, prep=p)[0]

@@ -21,6 +21,7 @@ jit per input shape (inherent to shape-dependent windows).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -43,7 +44,20 @@ ABLATE_BIAS = False
 
 # MBConv-internal dissection knobs (timing-only, wrong math): subset of
 # {"dw", "expand", "project", "bn"} — each drops that stage, shapes kept.
+# Guarded: honored only under STUDIOSR_EXPERIMENTAL_ABLATIONS=1 (ADVICE r4 —
+# "expand"/"project" silently remove fn.0/fn.7 from the parameter tree, so a
+# checkpoint saved under an ablation is incompatible with production builds).
 MBCONV_ABLATE: frozenset = frozenset()
+
+
+def _mbconv_ablate() -> frozenset:
+    if MBCONV_ABLATE and not os.environ.get("STUDIOSR_EXPERIMENTAL_ABLATIONS"):
+        raise RuntimeError(
+            "MBCONV_ABLATE is a timing-only dissection knob that changes the "
+            "parameter tree; set STUDIOSR_EXPERIMENTAL_ABLATIONS=1 to use it "
+            "in an explicitly experimental build (scripts/exp_maxsr_ablate.py)."
+        )
+    return MBCONV_ABLATE
 
 # Depthwise-conv implementation (exact same math both ways):
 #   "depthwise"  — XLA grouped conv (feature_group_count=hidden);
@@ -127,7 +141,7 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.expansion_rate * self.dim)
-        ab = MBCONV_ABLATE
+        ab = _mbconv_ablate()
         if "expand" in ab:  # timing-only: shape-preserving no-dot stand-in
             y = jnp.tile(x, (1, 1, 1, hidden // x.shape[-1]))
         else:

@@ -187,6 +187,26 @@ def test_trainer_resume_survives_corrupt_latest(tmp_path):
         assert not t4.load("latest")
 
 
+def test_trainer_load_config_drift_fails_loudly(tmp_path):
+    """A checkpoint whose bytes are intact but whose tree no longer matches
+    the model (config changed between runs) must RAISE, not be mislabeled
+    'corrupt' and silently discarded for a fresh start (ADVICE r4)."""
+    dataset = SyntheticPairs()
+
+    def make(n_feats):
+        model = EDSR.build(scale=2, n_feats=n_feats, n_resblocks=1)
+        return Trainer(
+            model, dataset, None,
+            batch_size=8, num_workers=1, max_iters=2, eval_interval=2,
+            ckpt_path=str(tmp_path), bfloat16=False,
+        )
+
+    make(8).run()
+    drifted = make(16)  # wider trunk: same tree paths, mismatched shapes
+    with pytest.raises(Exception):
+        drifted.load("latest")
+
+
 def test_trainer_batchnorm_model():
     """SyncBatchNorm analog: BN model trains under the sharded step (batch
     stats mutate globally)."""
