@@ -346,6 +346,55 @@ class Model(metaclass=_ModelMeta):
         psnr, ssim = np.asarray(out)
         return float(psnr), float(ssim)
 
+    def evaluate_uint8_batch(self, lqs, gts, crop_border: int = 0, y_only: bool = True, mesh=None):
+        """Per-image PSNR/SSIM for a SAME-SHAPE uint8 batch in one program.
+
+        The pod form of :meth:`evaluate_uint8` (round-4 VERDICT item 7):
+        with ``mesh`` the image axis is sharded over all mesh axes via
+        ``jax.shard_map`` — each device runs the FULL single-chip (fused)
+        forward + metric chain on its local images, so Mosaic kernels and
+        the per-image fused tails engage per shard, and only a (B, 2) f32
+        array crosses the host boundary. Returns ``(psnrs, ssims)`` numpy
+        arrays of length B. ``B`` must divide by ``mesh.size``.
+
+        Per-image eval (:meth:`evaluate_uint8`, the Evaluator route) stays
+        single-chip by design: benchmark sets are shape-diverse, so there
+        is no shared batch to shard — pods parallelize eval across images
+        with this method (same-shape val crops) or across processes (each
+        host scores its shard of the image list).
+        """
+        from studiosr_tpu.utils.metrics import compute_psnr_jax, compute_ssim_jax
+
+        def _pair_metrics(sr, gt):
+            return jnp.stack(
+                [
+                    compute_psnr_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+                    compute_ssim_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+                ]
+            )
+
+        def _eval_batch(v, batch, p=None):
+            lq, gt = batch
+            sr = self._forward_uint8(v, lq, sharded=False, prep=p)
+            return jax.vmap(_pair_metrics)(sr, gt)
+
+        key = (crop_border, y_only, mesh)
+        cache = getattr(self, "_eval_u8_batch_cache", None)
+        if cache is None or cache[0] is not self._jit_forward or cache[1] != key:
+            from studiosr_tpu.utils.helpers import enable_compilation_cache
+
+            enable_compilation_cache()
+            if mesh is not None and mesh.size > 1:
+                fn = jax.jit(self.shard_map_batch(_eval_batch, mesh))
+            else:
+                fn = jax.jit(_eval_batch)
+            self._eval_u8_batch_cache = (self._jit_forward, key, fn)
+        fn = self._eval_u8_batch_cache[2]
+        lqs = jnp.asarray(np.asarray(lqs))
+        gts = jnp.asarray(np.asarray(gts))
+        out = np.asarray(fn(self.variables, (lqs, gts), self.serving_prep()))
+        return out[:, 0], out[:, 1]
+
     def apply_train(self, variables, x: jnp.ndarray, rngs=None, mutable=()):
         """Train-mode apply (dropout active, batch stats updating)."""
         return self.module.apply(variables, x, train=True, rngs=rngs, mutable=list(mutable))
