@@ -96,6 +96,11 @@ def training_flops(model) -> float:
 
 
 def main() -> None:
+    # Count SwinFIR through the MXU-DFT (the TPU path being measured);
+    # the CPU jnp.fft route rejects the bf16 training autocast anyway.
+    from studiosr_tpu.ops import dft
+
+    dft.FORCE_MXU = True
     names = sys.argv[1:] or list(MEASURED)
     print(f"{'model':>8} | {'fwd GFLOP':>10} {'serve ms':>9} {'TFLOP/s':>8} {'MFU %':>6} | "
           f"{'step TFLOP':>10} {'img/s':>7} {'TFLOP/s':>8} {'MFU %':>6}")
@@ -113,7 +118,7 @@ def main() -> None:
             row += (f"{ft / 1e12:10.2f} {train_imgs:7.1f} {tf_train:8.1f} "
                     f"{100 * tf_train / V5E_PEAK_TFLOPS:6.1f}")
         except Exception as e:  # training geometry OOM on small CPU hosts etc.
-            row += f"train-count failed: {type(e).__name__}"
+            row += f"train-count failed: {type(e).__name__}: {str(e)[:120]}"
         print(row, flush=True)
 
 

@@ -292,6 +292,24 @@ def make_maxsr_fixture(iters: int = 1500) -> None:
     )
 
 
+def make_swinir_x8_fixture(iters: int = 1500) -> None:
+    """SwinIR-tiny x8: trained-weights floor for the log2 upsample ladder
+    (models/blocks.py Upsampler, reference common.py:130-133) — the one
+    driver scale with no fused tail: fused serving must DECLINE the tail
+    cleanly at s=8 (serving/swinir_fast.py) and still hold quality.
+    LR images are 16x16; the LR crop is one 8-window."""
+    from studiosr_tpu.models import SwinIR
+
+    make_fixture(
+        lambda: SwinIR.build(
+            scale=8, embed_dim=32, depths=[2, 2], num_heads=[2, 2],
+            window_size=8, mlp_ratio=2.0, drop_path_rate=0.0,
+        ),
+        "SwinIR-tiny x8", "swinir_x8_ckpt",
+        scale=8, seed=16, iters=iters, crop=8, batch=8, lr_suffix="_lrx8",
+    )
+
+
 def make_rcan_fixture(iters: int = 2000) -> None:
     """RCAN-tiny x4: trained-weights floor for the conv-family linen/XLA
     serving path with the channel-attention gate (round 4 — the conv
@@ -302,6 +320,70 @@ def make_rcan_fixture(iters: int = 2000) -> None:
         lambda: RCAN.build(scale=4, n_feats=24, n_resblocks=2, n_resgroups=2),
         "RCAN-tiny x4", "rcan_ckpt",
         scale=4, seed=12, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
+def make_edsr_fixture(iters: int = 2000) -> None:
+    """EDSR-tiny x4: trained-weights floor for the plain residual conv
+    trunk (the zoo-backed family, reference edsr.py:77-112 — round-4
+    VERDICT: golden parity existed but no trained floor). res_scale=1.0:
+    at 2 resblocks the published 0.1 damping only slows convergence."""
+    from studiosr_tpu.models import EDSR
+
+    make_fixture(
+        lambda: EDSR.build(scale=4, n_feats=24, n_resblocks=2, res_scale=1.0),
+        "EDSR-tiny x4", "edsr_ckpt",
+        scale=4, seed=14, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
+def make_han_fixture(iters: int = 2000) -> None:
+    """HAN-tiny x4: trained-weights floor through the default banded-CSAM
+    gate (models/han.py CSAM_IMPL="banded" — the round-3 reformulation
+    needed trained-weight evidence, not only random-kernel equivalence)
+    plus the LAM einsum head. Reference zoo path: han.py:145-158."""
+    from studiosr_tpu.models import HAN
+
+    make_fixture(
+        lambda: HAN.build(scale=4, n_feats=24, n_resblocks=2, n_resgroups=2, reduction=4),
+        "HAN-tiny x4", "han_ckpt",
+        scale=4, seed=15, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
+    )
+
+
+def make_vdsr_fixture(iters: int = 2000) -> None:
+    """VDSR-tiny x2: trained-weights floor for the bicubic-upscale-then-
+    residual-refine contract (reference vdsr.py:75-93 zoo path)."""
+    from studiosr_tpu.models import VDSR
+
+    make_fixture(
+        lambda: VDSR.build(scale=2, channels=32, n_layers=8),
+        "VDSR-tiny x2", "vdsr_ckpt",
+        scale=2, seed=17, iters=iters, crop=24, batch=8, lr_suffix="_lrx2",
+    )
+
+
+def make_srcnn_fixture(iters: int = 2000) -> None:
+    """SRCNN x2 (the full published arch — it is already tiny): trained
+    floor for the oldest family's interpolate-then-refine contract."""
+    from studiosr_tpu.models import SRCNN
+
+    make_fixture(
+        lambda: SRCNN.build(scale=2),
+        "SRCNN x2", "srcnn_ckpt",
+        scale=2, seed=18, iters=iters, crop=24, batch=8, lr_suffix="_lrx2",
+    )
+
+
+def make_srresnet_fixture(iters: int = 2000) -> None:
+    """SRResNet-tiny x4: trained floor for the BatchNorm trunk — the only
+    conv family carrying batch_stats through the registry round-trip."""
+    from studiosr_tpu.models import SRResNet
+
+    make_fixture(
+        lambda: SRResNet.build(scale=4, channels=24, num_rcb=2),
+        "SRResNet-tiny x4", "srresnet_ckpt",
+        scale=4, seed=19, iters=iters, crop=16, batch=8, lr_suffix="_lrx4",
     )
 
 
@@ -338,5 +420,17 @@ if __name__ == "__main__":
         make_rcan_fixture()
     elif "--imdn" in sys.argv:
         make_imdn_fixture()
+    elif "--edsr" in sys.argv:
+        make_edsr_fixture()
+    elif "--han" in sys.argv:
+        make_han_fixture()
+    elif "--vdsr" in sys.argv:
+        make_vdsr_fixture()
+    elif "--srcnn" in sys.argv:
+        make_srcnn_fixture()
+    elif "--srresnet" in sys.argv:
+        make_srresnet_fixture()
+    elif "--swinir-x8" in sys.argv:
+        make_swinir_x8_fixture()
     else:
         main()
