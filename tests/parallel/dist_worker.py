@@ -129,6 +129,28 @@ def main() -> None:
         params_digest=tree_digest(new_state.params),
         step_count=int(np.asarray(new_state.step.addressable_shards[0].data)),
     )
+
+    # --- the full production Trainer across the cluster ---
+    # Per-rank ckpt dirs prove the is_main_process gating: only rank 0 may
+    # write checkpoints/logs (reference handler.py:51 semantics).
+    import tempfile
+
+    from studiosr_tpu.engine import Trainer
+
+    ckpt_dir = tempfile.mkdtemp(prefix=f"dist_trainer_rank{rank}_")
+    trainer = Trainer(
+        ESPCN.build(scale=2, channels=8), SyntheticDataset(n=8), None,
+        batch_size=4, num_workers=1, max_iters=4, eval_interval=2,
+        ckpt_path=ckpt_dir, bfloat16=False, log_interval=1000,
+    )
+    trainer.run()
+    emit(
+        "trainer",
+        rank=rank,
+        ckpt_files=sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else [],
+        step=int(np.asarray(trainer.state.step.addressable_shards[0].data)),
+        params_digest=tree_digest(trainer.state.params),
+    )
     emit("done", rank=rank)
 
 

@@ -105,3 +105,13 @@ def test_two_process_jax_distributed_cluster():
     assert st0["params_digest"] == st1["params_digest"]
     assert st0["loss"] == pytest.approx(st1["loss"], abs=1e-12)
     assert st0["step_count"] == st1["step_count"] == 1
+
+    # full production Trainer across the cluster: both processes end on the
+    # same step with bit-identical params; checkpoints/logs written by the
+    # main process ONLY (per-rank ckpt dirs).
+    tr0, tr1 = records[0]["trainer"], records[1]["trainer"]
+    assert tr0["step"] == tr1["step"] == 4
+    assert tr0["params_digest"] == tr1["params_digest"]
+    assert "latest.model.ckpt" in tr0["ckpt_files"], tr0["ckpt_files"]
+    assert "best.model.ckpt" in tr0["ckpt_files"], tr0["ckpt_files"]
+    assert tr1["ckpt_files"] == [], f"non-main process wrote files: {tr1['ckpt_files']}"
