@@ -66,6 +66,10 @@ def tree_digest(tree) -> str:
 def main() -> None:
     rank = int(sys.argv[1])
     coordinator = sys.argv[2]
+    # devices per process (default 1): the 2-device variant exercises the
+    # pod host shape — per-process multi-device shards assembled into the
+    # global array by make_array_from_process_local_data.
+    n_local = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from studiosr_tpu.parallel import dist
 
@@ -80,8 +84,8 @@ def main() -> None:
     assert dist.process_count() == 2, dist.process_count()
     assert dist.process_index() == rank, (dist.process_index(), rank)
     assert dist.is_main_process() == (rank == 0)
-    assert dist.local_device_count() == 1, jax.local_devices()
-    assert len(jax.devices()) == 2, jax.devices()
+    assert dist.local_device_count() == n_local, jax.local_devices()
+    assert len(jax.devices()) == 2 * n_local, jax.devices()
     emit("topology", rank=rank, process_count=dist.process_count(), is_main=dist.is_main_process())
 
     # --- per-host input sharding through the production DataHandler ---
@@ -109,7 +113,7 @@ def main() -> None:
     from studiosr_tpu.parallel.train_step import make_train_step, prepare_state
 
     mesh = get_mesh()
-    assert mesh.size == 2
+    assert mesh.size == 2 * n_local
 
     model = ESPCN.build(scale=2, channels=8)
     tx = optax.adam(1e-3)
@@ -120,6 +124,7 @@ def main() -> None:
     )
     glq, ggt = shard_batch((lq, gt), mesh)  # multihost: local shard -> global array
     assert glq.shape[0] == 4, glq.shape  # global batch = 2 hosts x 2 local
+    assert glq.sharding.num_devices == 2 * n_local
     new_state, loss = step(state, glq, ggt, jax.random.PRNGKey(0))
     loss_local = float(np.asarray(loss.addressable_shards[0].data))
     emit(

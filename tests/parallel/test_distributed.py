@@ -37,11 +37,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _child_env() -> dict:
+def _child_env(devices_per_process: int = 1) -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # One CPU device per process => a 2-device global mesh across processes.
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # N CPU devices per process => a 2N-device global mesh across processes.
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices_per_process}"
     # Cross-process CPU collectives need a real implementation.
     env.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
     for stale in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
@@ -50,12 +50,15 @@ def _child_env() -> dict:
 
 
 @pytest.mark.slow
-def test_two_process_jax_distributed_cluster():
+@pytest.mark.parametrize("devices_per_process", [1, 2])
+def test_two_process_jax_distributed_cluster(devices_per_process):
+    """devices_per_process=2 is the pod host shape: each process feeds its
+    local shard over MULTIPLE local devices (4-device global mesh)."""
     coordinator = f"127.0.0.1:{_free_port()}"
-    env = _child_env()
+    env = _child_env(devices_per_process)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(rank), coordinator],
+            [sys.executable, WORKER, str(rank), coordinator, str(devices_per_process)],
             env=env,
             cwd=REPO,
             stdout=subprocess.PIPE,
