@@ -41,7 +41,7 @@ MEASURED = {
     "swinfir": (54.6, 90.7),
     "maxsr": (95.7, 71.0),
     "han": (48.5, 80.0),
-    "edsr": (62.6, 94.2),
+    "edsr": (54.9, 94.2),
     "rcan": (39.7, 91.2),
 }
 

@@ -116,6 +116,17 @@ def main() -> None:
     parser.add_argument("--out", default="parity_results.jsonl")
     args = parser.parse_args()
 
+    # Validate up front: a bad model/scale must not surface as a KeyError
+    # AFTER an hours-long eval has already run.
+    bad = [m for m in args.models if m not in PUBLISHED]
+    if bad:
+        sys.exit(f"unknown model(s) {bad}; published tables cover {sorted(PUBLISHED)}")
+    for name in args.models:
+        missing = [s for s in args.scales if s not in PUBLISHED[name]]
+        if missing:
+            sys.exit(f"{name}: no published numbers for scale(s) {missing} "
+                     f"(have {sorted(PUBLISHED[name])})")
+
     if not probe_egress():
         print("NO EGRESS: the parity sweep needs the pretrained zoo + benchmark "
               "datasets. Re-run when the environment has network access.")
@@ -126,6 +137,11 @@ def main() -> None:
     from studiosr_tpu.zoo.registry import get_model_class
 
     enable_compilation_cache()
+
+    # "tiled" rows are keyed by their tile parameters too: resuming with a
+    # different --tile must re-measure, not silently relabel cached rows.
+    def _mode_key(mode):
+        return f"tiled[{args.tile}+{args.tile_overlap}]" if mode == "tiled" else mode
 
     done = {}
     if os.path.exists(args.out):
@@ -141,7 +157,7 @@ def main() -> None:
         return r
 
     def run_eval(model, name, scale, dataset, mode):
-        key = (name, scale, dataset, mode)
+        key = (name, scale, dataset, _mode_key(mode))
         if key in done:
             return done[key]
         ev = Evaluator(dataset, scale)
@@ -151,7 +167,7 @@ def main() -> None:
             psnr, ssim = ev.run(infer)
         else:
             psnr, ssim = ev.run(model)
-        return record(model=name, scale=scale, dataset=dataset, mode=mode,
+        return record(model=name, scale=scale, dataset=dataset, mode=_mode_key(mode),
                       psnr=psnr, ssim=ssim)
 
     failures, rows = [], []

@@ -419,12 +419,18 @@ class Trainer:
             return False
 
     def _ckpt_bytes_intact(self, file_name: str) -> bool:
-        """True when every existing checkpoint file of ``file_name`` parses
-        as complete msgpack — i.e. a load failure is a tree/shape mismatch
-        (fail loudly), not truncation/corruption (fall back)."""
+        """True when every checkpoint file ``_load_tag`` actually READS for
+        ``file_name`` parses as complete msgpack — i.e. a load failure is a
+        tree/shape mismatch (fail loudly), not truncation/corruption (fall
+        back). The ema file only counts when this trainer uses EMA: a stale
+        truncated ``.ema.ckpt`` from an earlier run must not re-label a
+        genuine config-drift failure as 'corrupt'."""
         import msgpack
 
-        for suffix in (".model.ckpt", ".train.ckpt", ".ema.ckpt"):
+        suffixes = [".model.ckpt", ".train.ckpt"]
+        if self.ema_decay:
+            suffixes.append(".ema.ckpt")
+        for suffix in suffixes:
             path = os.path.join(self.ckpt_path, file_name + suffix)
             if not os.path.isfile(path):
                 continue

@@ -378,18 +378,23 @@ class Model(metaclass=_ModelMeta):
             sr = self._forward_uint8(v, lq, sharded=False, prep=p)
             return jax.vmap(_pair_metrics)(sr, gt)
 
+        # Dict cache keyed by configuration (alternating mesh/single-device
+        # or crop/y_only must not evict each other's jitted program);
+        # invalidated as a whole when the serving configuration changes.
         key = (crop_border, y_only, mesh)
         cache = getattr(self, "_eval_u8_batch_cache", None)
-        if cache is None or cache[0] is not self._jit_forward or cache[1] != key:
+        if cache is None or cache[0] is not self._jit_forward:
+            cache = (self._jit_forward, {})
+            self._eval_u8_batch_cache = cache
+        if key not in cache[1]:
             from studiosr_tpu.utils.helpers import enable_compilation_cache
 
             enable_compilation_cache()
             if mesh is not None and mesh.size > 1:
-                fn = jax.jit(self.shard_map_batch(_eval_batch, mesh))
+                cache[1][key] = jax.jit(self.shard_map_batch(_eval_batch, mesh))
             else:
-                fn = jax.jit(_eval_batch)
-            self._eval_u8_batch_cache = (self._jit_forward, key, fn)
-        fn = self._eval_u8_batch_cache[2]
+                cache[1][key] = jax.jit(_eval_batch)
+        fn = cache[1][key]
         lqs = jnp.asarray(np.asarray(lqs))
         gts = jnp.asarray(np.asarray(gts))
         out = np.asarray(fn(self.variables, (lqs, gts), self.serving_prep()))

@@ -51,7 +51,7 @@ MBCONV_ABLATE: frozenset = frozenset()
 
 
 def _mbconv_ablate() -> frozenset:
-    if MBCONV_ABLATE and not os.environ.get("STUDIOSR_EXPERIMENTAL_ABLATIONS"):
+    if MBCONV_ABLATE and os.environ.get("STUDIOSR_EXPERIMENTAL_ABLATIONS", "0") in ("", "0"):
         raise RuntimeError(
             "MBCONV_ABLATE is a timing-only dissection knob that changes the "
             "parameter tree; set STUDIOSR_EXPERIMENTAL_ABLATIONS=1 to use it "

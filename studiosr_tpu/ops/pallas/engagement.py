@@ -55,15 +55,20 @@ def engaged(name: str) -> None:
         _counters[(name, "engaged")] += 1
 
 
-def fallback(name: str, reason: str):
+def fallback(name: str, reason: str, structural: bool = False):
     """Record that ``name`` declined; returns None (the fallback sentinel).
 
     In strict mode raises instead, so silent-fallback regressions fail fast.
+    ``structural=True`` marks a BY-DESIGN decline — no kernel exists for
+    this configuration at all (e.g. the scale-8 upsample tail) — which is
+    recorded for visibility but never raises: strict mode exists to catch
+    layout regressions of kernels that should run, and a structural decline
+    is not distinguishable from one by the caller otherwise.
     """
     with _lock:
         _counters[(name, "fallback")] += 1
         _fallback_reasons[name] = reason
-    if _strict:
+    if _strict and not structural:
         raise KernelFallback(f"fused kernel {name!r} fell back: {reason}")
     return None
 

@@ -447,7 +447,9 @@ def swinir_fast_forward(
             from studiosr_tpu.ops.pallas import engagement
 
             engagement.fallback(
-                "fused_upsample_tail", f"scale {scale}: no fused tail (XLA log2-ladder path)"
+                "fused_upsample_tail",
+                f"scale {scale}: no fused tail (XLA log2-ladder path)",
+                structural=True,  # by design — strict mode must not raise
             )
         s = scale
         i = 0

@@ -355,6 +355,19 @@ def test_swinir_x8_fused_tail_declines_cleanly():
     rec = counts.get("fused_upsample_tail", {})
     assert rec.get("fallback"), f"x8 tail decline not recorded: {counts}"
     assert "log2-ladder" in rec.get("reason", "")
+    # Structural (by-design) decline: strict mode must NOT raise — no
+    # kernel exists for s=8, so this is not a layout regression.
+    from studiosr_tpu.ops.pallas import engagement
+    engagement.set_strict(True)
+    try:
+        engagement.reset()
+        jax.clear_caches()
+        jax.eval_shape(
+            lambda v, a: swinir_fast_forward(v, a, model.config),
+            model.variables, jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.bfloat16),
+        )
+    finally:
+        engagement.set_strict(False)
     # No fused tail may have engaged at s=8.
     for name in ("fused_upsample_x4", "fused_upsample_s"):
         assert not counts.get(name, {}).get("engaged"), counts
