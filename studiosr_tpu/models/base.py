@@ -397,6 +397,11 @@ class Model(metaclass=_ModelMeta):
         fn = cache[1][key]
         lqs = jnp.asarray(np.asarray(lqs))
         gts = jnp.asarray(np.asarray(gts))
+        if mesh is not None and lqs.shape[0] % mesh.size:
+            raise ValueError(
+                f"evaluate_uint8_batch: batch {lqs.shape[0]} does not divide "
+                f"over the {mesh.size}-device mesh — pad or drop images"
+            )
         out = np.asarray(fn(self.variables, (lqs, gts), self.serving_prep()))
         return out[:, 0], out[:, 1]
 
