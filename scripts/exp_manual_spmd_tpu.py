@@ -72,6 +72,19 @@ def main() -> None:
     np.testing.assert_array_equal(auto, manual_out)
     print("serving parity OK (manual_forward_uint8 == forward_uint8 on-chip)", flush=True)
 
+    # --- pod-shaped on-device eval under shard_map (round 5): the compiled
+    # fused forward + metric chain through the mesh route must match the
+    # single-device batch eval and the per-image evaluate_uint8 on chip ---
+    gts8 = rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8)
+    lqs8 = gts8[:, ::2, ::2]
+    p_mesh, s_mesh = model.evaluate_uint8_batch(lqs8, gts8, crop_border=2, mesh=mesh)
+    p_one, s_one = model.evaluate_uint8_batch(lqs8, gts8, crop_border=2)
+    np.testing.assert_allclose(p_mesh, p_one, atol=1e-5)
+    np.testing.assert_allclose(s_mesh, s_one, atol=1e-6)
+    per = [model.evaluate_uint8(lqs8[i], gts8[i], crop_border=2) for i in range(2)]
+    np.testing.assert_allclose(p_one, [p for p, _ in per], atol=1e-4)
+    print("eval parity OK (mesh evaluate_uint8_batch == single-device == per-image on-chip)", flush=True)
+
 
 if __name__ == "__main__":
     main()
