@@ -113,6 +113,8 @@ def main() -> None:
     parser.add_argument("--tile", type=int, default=96, help="LR tile for phase 2/3")
     parser.add_argument("--tile-overlap", type=int, default=16)
     parser.add_argument("--no-tiled", action="store_true", help="phases 1 only (exact acceptance)")
+    parser.add_argument("--ensemble", action="store_true",
+                        help="also run the 8-way self-ensemble '+' rows (exact sets; 8x the compute)")
     parser.add_argument("--out", default="parity_results.jsonl")
     args = parser.parse_args()
 
@@ -165,6 +167,8 @@ def main() -> None:
             infer = lambda img: model.inference_tiled(
                 img, tile=args.tile, tile_overlap=args.tile_overlap)
             psnr, ssim = ev.run(infer)
+        elif mode == "ensemble":  # the published '+' rows (8-way TTA)
+            psnr, ssim = ev.run(model.inference_with_self_ensemble)
         else:
             psnr, ssim = ev.run(model)
         return record(model=name, scale=scale, dataset=dataset, mode=_mode_key(mode),
@@ -185,6 +189,18 @@ def main() -> None:
                     failures.append((name, scale, dataset, delta))
                 print(f"[exact] {name} x{scale} {dataset}: {r['psnr']:.3f} "
                       f"(published {want:.3f}, delta {delta:+.3f}) {status}", flush=True)
+            if args.ensemble:
+                # the '+' rows: exact protocol, 8-way TTA, same acceptance
+                for dataset in EXACT_SETS:
+                    r = run_eval(model, name, scale, dataset, "ensemble")
+                    want = PUBLISHED[name][scale][dataset][1]
+                    delta = r["psnr"] - want
+                    rows.append((name + "+", scale, dataset, "ensemble", r["psnr"], want, delta, None))
+                    status = "OK" if abs(delta) <= ACCEPT_DB else "FAIL"
+                    if status == "FAIL":
+                        failures.append((name + "+", scale, dataset, delta))
+                    print(f"[ensemble] {name}+ x{scale} {dataset}: {r['psnr']:.3f} "
+                          f"(published {want:.3f}, delta {delta:+.3f}) {status}", flush=True)
             if args.no_tiled:
                 continue
             # phase 2: tile-vs-exact calibration on Set5
