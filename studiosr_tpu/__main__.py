@@ -51,6 +51,13 @@ def main() -> None:
     parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0 = whole image)")
     parser.add_argument("--tile-overlap", type=int, default=16, help="tile halo in LR pixels")
     parser.add_argument("--self-ensemble", action="store_true", help="8-way rot/flip test-time ensemble")
+    parser.add_argument(
+        "--ckpt", type=str, default="",
+        help="serve a locally-trained checkpoint directory (Trainer's "
+             "{best,latest}.model.ckpt + params.json) instead of the "
+             "pretrained zoo — works fully offline",
+    )
+    parser.add_argument("--ckpt-tag", type=str, default="best", help="checkpoint tag with --ckpt (best/latest)")
     parser.add_argument("--half", action="store_true", help="bf16 + fused Pallas serving path (throughput mode)")
     parser.add_argument(
         "--batch", type=int, default=1,
@@ -65,7 +72,14 @@ def main() -> None:
     # crashes on a second run with the default nested ``--output``.
     paths = [path] if os.path.isfile(path) else _walk_image_paths(path, skip_dir=args.output)
     root = path if os.path.isdir(path) else os.path.dirname(path)
-    model = models[args.model].from_pretrained(scale=args.scale)
+    if args.ckpt:
+        from studiosr_tpu.zoo.registry import load_model
+
+        model = load_model(args.ckpt, args.model, tag=args.ckpt_tag)
+        if model.scale != args.scale:
+            parser.error(f"--scale {args.scale} but checkpoint is x{model.scale} ({args.ckpt})")
+    else:
+        model = models[args.model].from_pretrained(scale=args.scale)
     if args.half:
         model.half()
         if hasattr(model, "enable_fused"):

@@ -117,3 +117,38 @@ def test_cli_nested_duplicate_basenames_do_not_collide(tmp_path, monkeypatch, ti
                            "--output", str(out)])
     # (the fixture model is zero-init, so only the naming is checkable here)
     assert sorted(os.listdir(out)) == ["a__0001.swinir_x2.png", "b__0001.swinir_x2.png"]
+
+
+def test_cli_local_checkpoint_serving(tmp_path, monkeypatch):
+    """--ckpt serves a locally-trained Trainer checkpoint directory (no
+    network, no zoo): output equals the registry-loaded model's inference,
+    and a scale mismatch fails with a clear argparse error."""
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures", "quality")
+    ckpt = os.path.join(fixtures, "ckpt")  # trained ESPCN x2
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip("quality fixture not generated")
+
+    lr = imread(os.path.join(fixtures, "img0_lr.png"))
+    src = tmp_path / "in"
+    src.mkdir()
+    imwrite(str(src / "img0.png"), lr)
+    out_dir = tmp_path / "out"
+
+    _run_cli(monkeypatch, [
+        "--image", str(src / "img0.png"), "--scale", "2",
+        "--model", "espcn", "--ckpt", ckpt, "--output", str(out_dir),
+    ])
+    outs = os.listdir(out_dir)
+    assert outs == ["img0.espcn_x2.png"], outs
+
+    from studiosr_tpu.zoo.registry import load_model
+
+    want = load_model(ckpt, "espcn", tag="best").inference(lr)
+    got = imread(str(out_dir / outs[0]))
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(SystemExit):  # argparse .error on scale mismatch
+        _run_cli(monkeypatch, [
+            "--image", str(src / "img0.png"), "--scale", "4",
+            "--model", "espcn", "--ckpt", ckpt, "--output", str(out_dir),
+        ])
