@@ -386,3 +386,24 @@ def test_swinir_x8_fused_tail_declines_cleanly():
     diff = np.abs(plain.astype(int) - fused.astype(int))
     assert diff.max() <= 1 and (diff > 0).mean() < 0.001, (
         diff.max(), (diff > 0).mean())
+
+
+def test_swinir_fused_engaged_at_batch8_bench_shape():
+    """Batch-8 is the recommended throughput serving point (round-5 batched
+    table: 1.708 MP/s >= b1): the whole-block kernel, streaming convs, and
+    the fused tail must all still ENGAGE with the batch riding the grid at
+    the bench geometry — a silent b>1 fallback would make the batched
+    recommendation serve XLA."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.swinir import SwinIR
+    from studiosr_tpu.serving import swinir_fast_forward
+
+    model = SwinIR.build(scale=4, fast_init=True).half()
+    counts = _trace_engagement(
+        swinir_fast_forward, model.variables, (8, 256, 256, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(
+        counts,
+        ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4", "mask_rows2"],
+    )
