@@ -351,6 +351,19 @@ def make_han_fixture(iters: int = 2000) -> None:
     )
 
 
+def make_han_x8_fixture(iters: int = 2000) -> None:
+    """HAN-tiny x8: the reference's zoo uniquely includes a scale-8 HAN
+    (han.py:148 file_ids {2,3,4,8}) — trained floor for the conv-family
+    log2 upsample ladder at x8."""
+    from studiosr_tpu.models import HAN
+
+    make_fixture(
+        lambda: HAN.build(scale=8, n_feats=24, n_resblocks=2, n_resgroups=2, reduction=4),
+        "HAN-tiny x8", "han_x8_ckpt",
+        scale=8, seed=20, iters=iters, crop=8, batch=8, lr_suffix="_lrx8",
+    )
+
+
 def make_vdsr_fixture(iters: int = 2000) -> None:
     """VDSR-tiny x2: trained-weights floor for the bicubic-upscale-then-
     residual-refine contract (reference vdsr.py:75-93 zoo path)."""
@@ -422,6 +435,8 @@ if __name__ == "__main__":
         make_imdn_fixture()
     elif "--edsr" in sys.argv:
         make_edsr_fixture()
+    elif "--han-x8" in sys.argv:
+        make_han_x8_fixture()
     elif "--han" in sys.argv:
         make_han_fixture()
     elif "--vdsr" in sys.argv:

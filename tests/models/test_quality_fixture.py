@@ -256,6 +256,9 @@ def test_hat_trained_fused_tail_quality_x2_x3(scale):
         # han.py:145-158, vdsr.py:75-93)
         ("edsr", "edsr_ckpt", "_lrx4"),
         ("han", "han_ckpt", "_lrx4"),
+        # the reference zoo uniquely ships a scale-8 HAN (han.py:148) —
+        # trained floor for the conv-family log2 ladder at x8
+        ("han", "han_x8_ckpt", "_lrx8"),
         ("srresnet", "srresnet_ckpt", "_lrx4"),
         ("vdsr", "vdsr_ckpt", "_lrx2"),
         ("srcnn", "srcnn_ckpt", "_lrx2"),

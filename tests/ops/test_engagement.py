@@ -407,3 +407,37 @@ def test_swinir_fused_engaged_at_batch8_bench_shape():
         counts,
         ["fused_swin_block", "swin_shift_fold", "fused_conv3x3", "fused_upsample_x4", "mask_rows2"],
     )
+
+
+def test_hat_x8_fused_tail_declines_cleanly():
+    """HAT at scale 8 (no fused tail — log2 ladder): hat_fast must record
+    the structural decline like swinir_fast, with the block kernels still
+    engaged, and match the plain path within 1 uint8 LSB."""
+    import jax.numpy as jnp
+
+    from studiosr_tpu.models.hat import HAT
+    from studiosr_tpu.serving.hat_fast import hat_fast_forward
+
+    model = HAT.build(
+        scale=8, embed_dim=32, depths=[2, 2], num_heads=[2, 2], window_size=8,
+        fast_init=True,
+    ).half()
+    counts = _trace_engagement(
+        hat_fast_forward, model.variables, (1, 64, 64, 3), jnp.bfloat16, model.config
+    )
+    _assert_engaged(counts, ["fused_window_attention_block", "fused_cab_body"])
+    rec = counts.get("fused_upsample_tail", {})
+    assert rec.get("fallback"), f"x8 tail decline not recorded: {counts}"
+    assert "log2-ladder" in rec.get("reason", "")
+
+    model_f32 = HAT.build(
+        scale=8, embed_dim=32, depths=[2, 2], num_heads=[2, 2], window_size=8,
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    plain = model_f32.inference(img)
+    fused = model_f32.enable_fused(True).inference(img)
+    assert plain.shape == (192, 192, 3)
+    diff = np.abs(plain.astype(int) - fused.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.001, (
+        diff.max(), (diff > 0).mean())
