@@ -102,6 +102,9 @@ def main() -> None:
 
     dft.FORCE_MXU = True
     names = sys.argv[1:] or list(MEASURED)
+    unknown = [n for n in names if n not in MEASURED]
+    if unknown:  # a typo must not surface as a bare KeyError mid-table
+        raise SystemExit(f"unknown model(s) {unknown}; choose from {sorted(MEASURED)}")
     print(f"{'model':>8} | {'fwd GFLOP':>10} {'serve ms':>9} {'TFLOP/s':>8} {'MFU %':>6} | "
           f"{'step TFLOP':>10} {'img/s':>7} {'TFLOP/s':>8} {'MFU %':>6}")
     for name in names:

@@ -456,18 +456,11 @@ class Trainer:
         skeleton = jax.device_get(self._state_variables())
         with open(model_path, "rb") as f:
             variables = serialization.from_bytes(skeleton, f.read())
-        # flax from_bytes only validates tree KEYS; a checkpoint from a
-        # differently-sized config restores wrong-shaped arrays silently and
-        # explodes much later at apply time. Fail here, loudly (ADVICE r4).
-        for (path, r), (_, t) in zip(
-            jax.tree_util.tree_flatten_with_path(variables)[0],
-            jax.tree_util.tree_flatten_with_path(skeleton)[0],
-        ):
-            if np.shape(r) != np.shape(t):
-                raise ValueError(
-                    f"checkpoint shape mismatch at {jax.tree_util.keystr(path)}: "
-                    f"saved {np.shape(r)} vs model {np.shape(t)} — model config drift?"
-                )
+        # flax from_bytes only validates tree KEYS; fail loudly on config
+        # drift here instead of later inside the jitted apply (ADVICE r4).
+        from studiosr_tpu.utils.helpers import check_tree_shapes
+
+        check_tree_shapes(variables, skeleton)
         target = dict(
             opt_state=jax.device_get(self.state.opt_state),
             iteration=0,

@@ -301,6 +301,21 @@ class Model(metaclass=_ModelMeta):
             return fn(self.variables, x, prep)
         return fn(self.variables, x)
 
+    def _metric_stack(self, sr, gt, crop_border: int, y_only: bool):
+        """PSNR + SSIM of one SR/GT pair as a (2,) stack — the single
+        definition both on-device eval programs (:meth:`evaluate_uint8` and
+        :meth:`evaluate_uint8_batch`) trace, so the metric chain (y_only /
+        crop plumbing, the [psnr, ssim] order, the HIGHEST-precision convs
+        inside the metric fns) cannot diverge between routes."""
+        from studiosr_tpu.utils.metrics import compute_psnr_jax, compute_ssim_jax
+
+        return jnp.stack(
+            [
+                compute_psnr_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+                compute_ssim_jax(sr, gt, y_only=y_only, crop_border=crop_border),
+            ]
+        )
+
     def evaluate_uint8(self, lq, gt, crop_border: int = 0, y_only: bool = True):
         """SR forward + PSNR/SSIM in ONE jitted program; fetches two scalars.
 
@@ -312,8 +327,6 @@ class Model(metaclass=_ModelMeta):
         ``evaluator.py:53-79`` scores on host). Matches the host numpy
         protocol to <1e-4 dB (tests/engine/test_on_device_eval.py).
         """
-        from studiosr_tpu.utils.metrics import compute_psnr_jax, compute_ssim_jax
-
         cache = getattr(self, "_eval_uint8_cache", None)
         if cache is None or cache[0] is not self._jit_forward:
             # One program per distinct (LQ, GT) shape pair: a shape-diverse
@@ -327,12 +340,7 @@ class Model(metaclass=_ModelMeta):
 
             def _eval(v, lq, gt, p=None, *, crop_border, y_only):
                 sr = self._forward_uint8(v, lq, sharded=False, prep=p)[0]
-                return jnp.stack(
-                    [
-                        compute_psnr_jax(sr, gt, y_only=y_only, crop_border=crop_border),
-                        compute_ssim_jax(sr, gt, y_only=y_only, crop_border=crop_border),
-                    ]
-                )
+                return self._metric_stack(sr, gt, crop_border, y_only)
 
             self._eval_uint8_cache = (
                 self._jit_forward,
@@ -363,15 +371,8 @@ class Model(metaclass=_ModelMeta):
         with this method (same-shape val crops) or across processes (each
         host scores its shard of the image list).
         """
-        from studiosr_tpu.utils.metrics import compute_psnr_jax, compute_ssim_jax
-
         def _pair_metrics(sr, gt):
-            return jnp.stack(
-                [
-                    compute_psnr_jax(sr, gt, y_only=y_only, crop_border=crop_border),
-                    compute_ssim_jax(sr, gt, y_only=y_only, crop_border=crop_border),
-                ]
-            )
+            return self._metric_stack(sr, gt, crop_border, y_only)
 
         def _eval_batch(v, batch, p=None):
             lq, gt = batch
@@ -390,7 +391,13 @@ class Model(metaclass=_ModelMeta):
             from studiosr_tpu.utils.helpers import enable_compilation_cache
 
             enable_compilation_cache()
-            if mesh is not None and mesh.size > 1:
+            if mesh is not None:
+                # shard_map even a 1-device mesh: it is the exact lowering
+                # branch real pods take (Mosaic kernels cannot GSPMD), and
+                # it is what lets scripts/exp_manual_spmd_tpu.py validate
+                # the compiled-kernel mesh eval route on the single real
+                # chip — a `mesh.size > 1` guard here made that check
+                # compile the identical plain-jit program twice (vacuous).
                 cache[1][key] = jax.jit(self.shard_map_batch(_eval_batch, mesh))
             else:
                 cache[1][key] = jax.jit(_eval_batch)

@@ -73,6 +73,21 @@ def fallback(name: str, reason: str, structural: bool = False):
     return None
 
 
+def structural_tail_decline(scale: int) -> None:
+    """Record the by-design fused-upsample-tail decline for ``scale``.
+
+    One helper shared by every fused serving path (SwinIR/HAT): no fused
+    tail exists outside scales 2/3/4 — the XLA log2 ladder (reference
+    ``common.py:130-133``) serves those — so the name, reason format and
+    ``structural`` flag stay in sync across serving files (the engagement
+    tests grep the reason for "log2-ladder")."""
+    fallback(
+        "fused_upsample_tail",
+        f"scale {scale}: no fused tail (XLA log2-ladder path)",
+        structural=True,
+    )
+
+
 def counters() -> dict:
     """{kernel name: {"engaged": n, "fallback": m, ["reason": last]}}."""
     with _lock:

@@ -404,16 +404,9 @@ def hat_fast_forward(
             x = (fused_tail + mean) * img_range
             return x[:, : h0 * scale, : w0 * scale, :]
     if scale not in (2, 3, 4) and "conv_last" in params:
-        # No fused tail for this scale (the log2 ladder below, reference
-        # common.py:130-133) — record the by-design decline loudly, like
-        # serving/swinir_fast.py does (round-5).
         from studiosr_tpu.ops.pallas import engagement
 
-        engagement.fallback(
-            "fused_upsample_tail",
-            f"scale {scale}: no fused tail (XLA log2-ladder path)",
-            structural=True,
-        )
+        engagement.structural_tail_decline(scale)
     s, i = scale, 0
     while s > 1 and (s & (s - 1)) == 0:
         x = _conv(x, up[str(2 * i)])

@@ -68,6 +68,28 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         pass
 
 
+def check_tree_shapes(restored, skeleton, context: str = "checkpoint") -> None:
+    """Validate every restored leaf's shape against the model skeleton.
+
+    ``flax.serialization.from_bytes`` only validates tree KEYS: a checkpoint
+    saved under a differently-sized config restores wrong-shaped arrays
+    silently and explodes much later inside the jitted apply with an opaque
+    XLA error. Every loader must call this right after ``from_bytes`` so
+    config drift fails loudly at load time (Trainer resume and the zoo /
+    CLI ``--ckpt`` route both do)."""
+    import jax
+
+    for (path, r), (_, t) in zip(
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+        jax.tree_util.tree_flatten_with_path(skeleton)[0],
+    ):
+        if np.shape(r) != np.shape(t):
+            raise ValueError(
+                f"{context} shape mismatch at {jax.tree_util.keystr(path)}: "
+                f"saved {np.shape(r)} vs model {np.shape(t)} — model config drift?"
+            )
+
+
 def download(src: str, dst: str, chunk_size: int = 1 << 20) -> None:
     """Stream a URL to a local file with a progress bar (helpers.py:20-29)."""
     import requests

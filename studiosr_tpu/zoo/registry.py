@@ -42,7 +42,16 @@ class _LazyRegistry(_Mapping):
     TypeError — the natural dict-style reads must work."""
 
     def __getitem__(self, name: str):
-        return _registry()[name.lower()]
+        reg = _registry()
+        try:
+            return reg[name.lower()]
+        except KeyError:
+            # A typo (or a comma-joined list passed as one name) must fail
+            # with the available choices, not a bare KeyError from deep
+            # inside a sweep script.
+            raise KeyError(
+                f"unknown model {name!r}; available: {sorted(reg)}"
+            ) from None
 
     def __iter__(self):
         return iter(_registry())
@@ -77,14 +86,21 @@ def load_model(ckpt_dir: str, model_name: str, tag: str = "best", ema: bool = Fa
     if "fast_init" in inspect.signature(cls.build).parameters:
         config = dict(config, fast_init=True)
     model = cls.build(**config)
+    from studiosr_tpu.utils.helpers import check_tree_shapes
+
     path = os.path.join(ckpt_dir, f"{tag}.model.ckpt")
     with open(path, "rb") as f:
-        model.variables = serialization.from_bytes(model.variables, f.read())
+        restored = serialization.from_bytes(model.variables, f.read())
+    # from_bytes only checks tree keys — a ckpt whose params.json was edited
+    # (or whose files were mixed between runs) restores wrong shapes silently
+    # and explodes later inside the jitted forward. Fail loudly here, the
+    # same contract as Trainer resume (engine/trainer.py _load_tag).
+    check_tree_shapes(restored, model.variables, context=path)
+    model.variables = restored
     if ema:
         ema_path = os.path.join(ckpt_dir, f"{tag}.ema.ckpt")
         with open(ema_path, "rb") as f:
-            model.variables = dict(
-                model.variables,
-                params=serialization.from_bytes(model.variables["params"], f.read()),
-            )
+            ema_params = serialization.from_bytes(model.variables["params"], f.read())
+        check_tree_shapes(ema_params, model.variables["params"], context=ema_path)
+        model.variables = dict(model.variables, params=ema_params)
     return model

@@ -152,3 +152,32 @@ def test_cli_local_checkpoint_serving(tmp_path, monkeypatch):
             "--image", str(src / "img0.png"), "--scale", "4",
             "--model", "espcn", "--ckpt", ckpt, "--output", str(out_dir),
         ])
+
+
+def test_zoo_load_model_config_drift_fails_loudly(tmp_path):
+    """load_model (the --ckpt route's loader) must fail LOUDLY when the
+    checkpoint bytes restore wrong-shaped leaves — flax from_bytes only
+    validates tree keys, so a hand-edited params.json (or ckpt files mixed
+    between runs) would otherwise explode much later inside the jitted
+    forward with an opaque XLA error (same contract as Trainer resume)."""
+    import json
+    import shutil
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures", "quality")
+    ckpt = os.path.join(fixtures, "ckpt")  # trained ESPCN x2, channels=64
+    if not os.path.exists(os.path.join(ckpt, "best.model.ckpt")):
+        pytest.skip("quality fixture not generated")
+
+    drifted = tmp_path / "drifted"
+    drifted.mkdir()
+    shutil.copy(os.path.join(ckpt, "best.model.ckpt"), drifted / "best.model.ckpt")
+    with open(os.path.join(ckpt, "params.json")) as f:
+        config = json.load(f)
+    config["channels"] = 32  # same tree paths, mismatched shapes
+    with open(drifted / "params.json", "w") as f:
+        json.dump(config, f)
+
+    from studiosr_tpu.zoo.registry import load_model
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_model(str(drifted), "espcn", tag="best")
