@@ -153,6 +153,13 @@ def extract_subimages(input_dir: str, output_dir: str, crop_size: int, step: int
             raise ValueError(f"unreadable image in dataset: {path}")
 
         h, w = image.shape[:2]
+        if h < crop_size or w < crop_size:
+            # An empty arange below would IndexError on y_range[-1] with no
+            # hint which image broke the pack; name it instead.
+            raise ValueError(
+                f"extract_subimages: {path} is {h}x{w}, smaller than "
+                f"crop_size {crop_size} — remove it or reduce crop_size"
+            )
         y_range = np.arange(0, h - crop_size + 1, step)
         if h - (y_range[-1] + crop_size) > 0:
             y_range = np.append(y_range, h - crop_size)

@@ -80,7 +80,15 @@ class PrefetchLoader:
             order = np.random.default_rng((self.seed << 20) + epoch).permutation(n)
         else:
             order = np.arange(n)
-        return order[self.rank :: self.world_size]
+        shard = order[self.rank :: self.world_size]
+        if shard.size == 0:
+            # More ranks than samples (tiny debug datasets): wrap the rank
+            # into the epoch order instead of handing this process an empty
+            # shard — np.tile of an empty array stays empty, and the batch
+            # assembly would die with an opaque "need at least one array to
+            # stack". torch's DistributedSampler pads/wraps the same way.
+            shard = order[[self.rank % n]]
+        return shard
 
     def _load_sample(self, idx: int, sample_rng: random.Random):
         if hasattr(self.dataset, "get"):

@@ -14,7 +14,7 @@ implementation remains the default for bit-exact reporting.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -28,6 +28,21 @@ class _EvaluatorBase:
     dataset: str
     scale: int
     testset: PairedImageDataset
+
+    # Subclasses carry their own Google-Drive id table and default root;
+    # the download sequence itself is shared (it used to be copy-pasted in
+    # both subclasses — fixes must not be applied twice).
+    DATASET_IDS: dict = {}
+    DATASET_ROOT = "dataset"
+
+    @classmethod
+    def download_dataset(cls, root: Optional[str] = None, dataset: str = "Set5") -> str:
+        root = cls.DATASET_ROOT if root is None else root
+        benchmark_path = os.path.join(root, dataset)
+        if not os.path.exists(benchmark_path):
+            os.makedirs(root, exist_ok=True)
+            gdown_and_extract(id=cls.DATASET_IDS[dataset], save_dir=root)
+        return benchmark_path
 
     def __call__(
         self,
@@ -108,14 +123,6 @@ class Evaluator(_EvaluatorBase):
             os.path.join(root, f"GTmod{gt_mod}"), os.path.join(root, f"LRbicx{scale}")
         )
 
-    @classmethod
-    def download_dataset(cls, root: str = "dataset", dataset: str = "Set5") -> str:
-        benchmark_path = os.path.join(root, dataset)
-        if not os.path.exists(benchmark_path):
-            os.makedirs(root, exist_ok=True)
-            gdown_and_extract(id=cls.DATASET_IDS[dataset], save_dir=root)
-        return benchmark_path
-
     @staticmethod
     def benchmark(
         func: Callable[[np.ndarray], np.ndarray],
@@ -137,6 +144,8 @@ class Evaluator2(_EvaluatorBase):
         "Urban100": "1srG5FmDmnogUzvOywH7i2QfUnLsNGmxb",
     }
 
+    DATASET_ROOT = "dataset/benchmark"
+
     def __init__(self, dataset: str = "Set5", scale: int = 4, root: str = "dataset/benchmark") -> None:
         self.dataset = dataset
         self.scale = scale
@@ -145,14 +154,6 @@ class Evaluator2(_EvaluatorBase):
         self.testset = PairedImageDataset(
             os.path.join(root, "HR"), os.path.join(root, "LR_bicubic", f"X{scale}")
         )
-
-    @classmethod
-    def download_dataset(cls, root: str = "dataset/benchmark", dataset: str = "Set5") -> str:
-        benchmark_path = os.path.join(root, dataset)
-        if not os.path.exists(benchmark_path):
-            os.makedirs(root, exist_ok=True)
-            gdown_and_extract(id=cls.DATASET_IDS[dataset], save_dir=root)
-        return benchmark_path
 
 
 def _benchmark_table(evaluator_cls, func, scale, y_only, datasets, on_device=False):

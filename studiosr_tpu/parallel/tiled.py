@@ -218,9 +218,17 @@ def _device_tiled(
     n = len(coords)
     n_b = -(-n // batch)
     out_tile = tile * scale
-    key = (model._jit_forward, ph, pw, c, tile, tile_overlap, batch, mesh, _FETCH_STREAMS)
+    # Dict cache per geometry (a stream alternating two frame shapes — e.g.
+    # portrait/landscape stills — must keep BOTH compiled programs live;
+    # a single-entry cache dropped the jitted callable on every key change
+    # and re-paid the 30s-15min remote compile per frame). Reset as a whole
+    # when the serving configuration (_jit_forward) is rebuilt.
+    key = (ph, pw, c, tile, tile_overlap, batch, mesh, _FETCH_STREAMS)
     cache = getattr(model, "_tiled_fwd_cache", None)
-    if cache is None or cache[0] != key:
+    if cache is None or cache[0] is not model._jit_forward:
+        cache = (model._jit_forward, {})
+        model._tiled_fwd_cache = cache
+    if key not in cache[1]:
         coords_t = tuple((int(y), int(x)) for y, x in coords)
         ts = tile_overlap * scale
         if mesh is not None:
@@ -264,13 +272,14 @@ def _device_tiled(
             streams = max(1, min(_FETCH_STREAMS, ph * scale))
             splits = [(i * (ph * scale)) // streams for i in range(1, streams)]
             return tuple(jnp.split(out, splits, axis=0))
-        model._tiled_fwd_cache = (key, jax.jit(run))
+        cache[1][key] = jax.jit(run)
 
+    fn = cache[1][key]
     prep = model.serving_prep()
     if prep is not None:
-        chunks = model._tiled_fwd_cache[1](model.variables, padded, prep)
+        chunks = fn(model.variables, padded, prep)
     else:
-        chunks = model._tiled_fwd_cache[1](model.variables, padded)
+        chunks = fn(model.variables, padded)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(len(chunks)) as pool:

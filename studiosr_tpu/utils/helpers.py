@@ -148,6 +148,16 @@ def download_gdrive(id: str, output: str) -> str:
     elif token is not None:
         response = session.get(_GDRIVE_URL, params={"id": id, "confirm": token}, stream=True, timeout=60)
     response.raise_for_status()
+    if b"text/html" in response.headers.get("content-type", "").encode():
+        # Still an interstitial (quota page, virus-scan page with a form
+        # layout the regexes above missed): committing the HTML body as the
+        # output file would defeat the .part safeguard and make every rerun
+        # fail later with an unrelated BadZipFile. Fail here, loudly.
+        raise IOError(
+            f"Google Drive returned an HTML page instead of file {id!r} "
+            "(quota exceeded or confirm-form layout changed); install "
+            "gdown for the robust client"
+        )
     tmp = output + ".part"
     with open(tmp, "wb") as f:
         for chunk in response.iter_content(1 << 20):

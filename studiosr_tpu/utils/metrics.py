@@ -176,6 +176,19 @@ def _to_y_jax(image):
     return image
 
 
+def _to_y_like_host(image):
+    """Exact mirror of the host :func:`to_y` dtype dispatch: ONLY uint8 is
+    rescaled to [0,1] before the Y weights (reference metrics.py:11-17);
+    float inputs are assumed [0,1] already. An unconditional ``/255`` here
+    silently inflated scores for float-valued callers (~+48 dB measured on
+    [0,1] f32 pairs) — the uint8 production path was unaffected."""
+    import jax.numpy as jnp
+
+    if image.dtype == jnp.uint8:
+        return _to_y_jax(image.astype(jnp.float32) / 255.0)
+    return _to_y_jax(image.astype(jnp.float32))
+
+
 def _crop_to_equal_jax(im1, im2):
     """Host-side analog of :func:`crop_img_to_equal` for device arrays:
     shapes are concrete here, so plain slicing keeps the jitted impls
@@ -190,18 +203,19 @@ def _crop_to_equal_jax(im1, im2):
 def _psnr_jax_impl(im1, im2, y_only: bool, crop_border: int, scale255: bool):
     import jax.numpy as jnp
 
-    im1 = im1.astype(jnp.float32)
-    im2 = im2.astype(jnp.float32)
     if crop_border:
         im1 = im1[crop_border:-crop_border, crop_border:-crop_border]
         im2 = im2[crop_border:-crop_border, crop_border:-crop_border]
     if y_only:
-        im1 = _to_y_jax(im1 / 255.0)
-        im2 = _to_y_jax(im2 / 255.0)
-    elif scale255:
-        # Float [0,1] inputs are scaled like the host/reference protocol
-        # (reference metrics.py:43-44).
-        im1, im2 = im1 * 255.0, im2 * 255.0
+        im1 = _to_y_like_host(im1)
+        im2 = _to_y_like_host(im2)
+    else:
+        im1 = im1.astype(jnp.float32)
+        im2 = im2.astype(jnp.float32)
+        if scale255:
+            # Float [0,1] inputs are scaled like the host/reference protocol
+            # (reference metrics.py:43-44).
+            im1, im2 = im1 * 255.0, im2 * 255.0
     error = jnp.mean((im1 - im2) ** 2)
     return 20.0 * jnp.log10(255.0 / jnp.sqrt(error))
 
@@ -220,7 +234,6 @@ def _ssim_maps_jax(im1, im2):
     from jax import lax
 
     kernel = jnp.asarray(_gaussian_kernel_1d(), dtype=jnp.float32)
-    pad = (kernel.size - 1) // 2
 
     def filt(img):
         # img: (H, W) -> separable "valid" gaussian; crop happens implicitly.
@@ -252,7 +265,6 @@ def _ssim_maps_jax(im1, im2):
     c1 = (_SSIM_K1 * _SSIM_DATA_RANGE) ** 2
     c2 = (_SSIM_K2 * _SSIM_DATA_RANGE) ** 2
     s = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
-    del pad
     return s
 
 
@@ -260,14 +272,15 @@ def _ssim_maps_jax(im1, im2):
 def _ssim_jax_impl(im1, im2, y_only: bool, crop_border: int):
     import jax.numpy as jnp
 
-    im1 = im1.astype(jnp.float32)
-    im2 = im2.astype(jnp.float32)
     if crop_border:
         im1 = im1[crop_border:-crop_border, crop_border:-crop_border]
         im2 = im2[crop_border:-crop_border, crop_border:-crop_border]
     if y_only:
-        im1 = _to_y_jax(im1 / 255.0)
-        im2 = _to_y_jax(im2 / 255.0)
+        im1 = _to_y_like_host(im1)
+        im2 = _to_y_like_host(im2)
+    else:
+        im1 = im1.astype(jnp.float32)
+        im2 = im2.astype(jnp.float32)
     if im1.ndim == 3:
         values = [jnp.mean(_ssim_maps_jax(im1[..., c], im2[..., c])) for c in range(im1.shape[-1])]
         return jnp.mean(jnp.stack(values))

@@ -98,6 +98,26 @@ def test_loader_dataset_smaller_than_batch():
     assert set(lq[:, 0, 0, 0].astype(int).tolist()) == {0, 1, 2}
 
 
+def test_loader_more_ranks_than_samples():
+    """world_size > len(dataset): the out-of-range ranks must wrap into the
+    epoch order (like torch's DistributedSampler padding), not crash the
+    batch assembly on an empty shard."""
+
+    class Tiny:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), np.full((4, 4, 3), i, np.float32)
+
+    for rank in range(4):
+        loader = PrefetchLoader(Tiny(), batch_size=2, num_workers=1, shuffle=False, rank=rank, world_size=4)
+        lq, gt = next(loader.batches())
+        assert lq.shape == (2, 2, 2, 3)
+        # Each rank sees a single wrapped sample repeated to the batch size.
+        assert set(lq[:, 0, 0, 0].astype(int).tolist()) == {rank % 2}
+
+
 def test_extract_subimages_grid(tmp_path):
     """Sliding-window sub-image extraction incl. edge-snapped final crops."""
     import cv2

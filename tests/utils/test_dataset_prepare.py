@@ -78,6 +78,21 @@ def test_extract_subimages_empty_input_raises(tmp_path):
     assert not os.path.exists(str(tmp_path / "out"))
 
 
+def test_extract_subimages_undersized_image_names_culprit(tmp_path):
+    """An image smaller than crop_size must fail naming the file, not die
+    with a bare IndexError from an empty crop range."""
+    import cv2
+
+    from studiosr_tpu.data.dataset import extract_subimages
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cv2.imwrite(str(src / "small.png"), np.zeros((12, 40, 3), np.uint8))
+    with pytest.raises(ValueError, match="small.png.*smaller than"):
+        extract_subimages(str(src), str(tmp_path / "out"), 20, 10)
+    assert not os.path.exists(str(tmp_path / "out"))
+
+
 def test_div2k_resumes_partial_prepare(tmp_path):
     """A prepare interrupted after some packs must rebuild only the missing
     ones on the next construction (the old top-level `sub` check skipped

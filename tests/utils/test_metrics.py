@@ -137,3 +137,21 @@ def test_jax_psnr_float_scaling_matches_host() -> None:
     want = compute_psnr(im1, im2, y_only=False, crop_border=0)
     got = float(compute_psnr_jax(im1, im2, y_only=False, crop_border=0))
     assert abs(got - want) < 1e-3, (got, want)
+
+
+def test_jax_y_only_float_inputs_match_host() -> None:
+    """y_only metrics on FLOAT [0,1] inputs must mirror the host to_y dtype
+    dispatch (only uint8 is rescaled, reference metrics.py:11-17): the old
+    unconditional /255 compressed floats to [0, 0.004] before the Y weights
+    and inflated PSNR by ~48 dB / SSIM to ~1.0."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (32, 36, 3))
+    noisy = np.clip(base + rng.integers(-12, 12, base.shape), 0, 255)
+    im1 = (base / 255.0).astype(np.float32)
+    im2 = (noisy / 255.0).astype(np.float32)
+    want_p = compute_psnr(im1, im2, y_only=True, crop_border=2)
+    got_p = float(compute_psnr_jax(im1, im2, y_only=True, crop_border=2))
+    assert abs(got_p - want_p) < 1e-3, (got_p, want_p)
+    want_s = compute_ssim(im1, im2, y_only=True, crop_border=2)
+    got_s = float(compute_ssim_jax(im1, im2, y_only=True, crop_border=2))
+    assert abs(got_s - want_s) < 1e-4, (got_s, want_s)
