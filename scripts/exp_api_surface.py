@@ -45,6 +45,7 @@ RENAMES = {
     # ---- SwinIR internals ----
     "BasicLayer": "models/swinir.py RSTB residual group (alternating-shift blocks)",
     "SwinIR.forward_features": "SwinIRModule.__call__ trunk (fused path: serving/swinir_fast.py)",
+    "SwinFIR.forward_features": "inherited SwinIRModule trunk with SFB resi_connection (models/swinfir.py)",
     # ---- HAT internals ----
     "AttenBlocks": "models/hat.py RHAG (depth HABs + OCAB)",
     "HAT.calculate_rpi_sa": "ops.windows.relative_position_index (trace-time constant)",
@@ -118,11 +119,21 @@ def public_surface(pkg):
                 continue  # re-exported third-party
             methods = []
             if inspect.isclass(obj):
-                for m, f in vars(obj).items():
-                    if m.startswith("_") or m in TORCH_PROTOCOL:
+                # Walk the MRO so methods hoisted into a package-owned base
+                # class still count as the subclass's surface (e.g. the
+                # shared download_dataset on _EvaluatorBase); third-party
+                # bases (torch nn.Module etc.) stay excluded.
+                pkg_root = pkg.__name__.split(".")[0]
+                seen = set()
+                for klass in obj.__mro__:
+                    if getattr(klass, "__module__", "").split(".")[0] != pkg_root:
                         continue
-                    if inspect.isfunction(f) or isinstance(f, (staticmethod, classmethod)):
-                        methods.append(m)
+                    for m, f in vars(klass).items():
+                        if m.startswith("_") or m in TORCH_PROTOCOL or m in seen:
+                            continue
+                        if inspect.isfunction(f) or isinstance(f, (staticmethod, classmethod)):
+                            seen.add(m)
+                            methods.append(m)
             syms[sym] = sorted(methods)
         if syms:
             out[name] = syms
