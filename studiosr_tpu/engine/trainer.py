@@ -261,7 +261,10 @@ class Trainer:
             log = f" Iterations = {iterations:<8}  PSNR: {psnr:6.3f} SSIM: {ssim:6.4f}"
             if logger:
                 logger.info(log)
-            if self.best_psnr <= psnr:
+            # Without an evaluator there is no PSNR signal: 0.0 <= 0.0 would
+            # rewrite a meaningless "best" (a full serialization pass) at
+            # every boundary — only "latest" is meaningful then.
+            if self.evaluator and self.best_psnr <= psnr:
                 self.best_psnr = psnr
                 self.save("best")
             self.save("latest")
@@ -324,6 +327,11 @@ class Trainer:
                 # Chip-resident eval: SR + metrics in one program per image,
                 # two scalars fetched — no HR image crosses the host boundary
                 # (the host numpy protocol stays for standalone reporting).
+                # The jitted eval is called once per image with the variables
+                # as arguments: a host-numpy tree (what _sync just produced)
+                # re-uploads the FULL parameter set per call on the relay —
+                # put it on device ONCE per eval boundary instead.
+                self.model.variables = jax.device_put(self.model.variables)
                 psnr, ssim = self.evaluator.run(self.model, on_device=True)
             else:
                 psnr, ssim = self.evaluator.run(self.model.inference)

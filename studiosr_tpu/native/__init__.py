@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 import threading
 from typing import Optional, Tuple
 
@@ -27,9 +26,14 @@ _SRC = os.path.join(os.path.dirname(__file__), "augment.cpp")
 
 
 def _build() -> Optional[str]:
-    cache_dir = os.environ.get(
-        "STUDIOSR_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "studiosr_tpu_native")
+    # Default to a USER-OWNED cache, not the shared tempdir: a predictable
+    # world-writable /tmp path lets any local user pre-plant a .so that the
+    # training process would dlopen (the mtime freshness check cannot tell).
+    default_cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "studiosr_tpu_native",
     )
+    cache_dir = os.environ.get("STUDIOSR_NATIVE_CACHE", default_cache)
     os.makedirs(cache_dir, exist_ok=True)
     out = os.path.join(cache_dir, "libstudiosr_augment.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
@@ -89,6 +93,22 @@ def paired_crop_augment(
     assert lib is not None, "native library unavailable"
     lq = np.ascontiguousarray(lq)
     gt = np.ascontiguousarray(gt)
+    # The C++ kernel derives the GT row stride from the LQ width and trusts
+    # the crop offsets — mismatched inputs would read out of bounds (garbage
+    # pixels or a segfault) with no Python-level error. Validate here, the
+    # public boundary, not only at the one internal call site.
+    if lq.dtype != np.uint8 or gt.dtype != np.uint8:
+        raise TypeError(f"paired_crop_augment: uint8 inputs required, got {lq.dtype}/{gt.dtype}")
+    if lq.ndim != 3 or lq.shape[2] != 3 or gt.ndim != 3 or gt.shape[2] != 3:
+        raise ValueError(f"paired_crop_augment: HWC RGB inputs required, got {lq.shape}/{gt.shape}")
+    if gt.shape[0] != lq.shape[0] * scale or gt.shape[1] != lq.shape[1] * scale:
+        raise ValueError(
+            f"paired_crop_augment: gt {gt.shape[:2]} is not lq {lq.shape[:2]} x{scale}"
+        )
+    if not (0 <= xs <= lq.shape[1] - size and 0 <= ys <= lq.shape[0] - size):
+        raise ValueError(
+            f"paired_crop_augment: crop ({ys},{xs})+{size} outside lq {lq.shape[:2]}"
+        )
     out_lq = np.empty((size, size, 3), np.float32)
     out_gt = np.empty((size * scale, size * scale, 3), np.float32)
     flags = (1 if fliplr else 0) | (2 if flipud else 0) | (4 if rot90 else 0)

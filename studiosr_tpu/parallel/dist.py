@@ -33,6 +33,15 @@ def initialize(
     import jax
 
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address is None and (num_processes is not None or process_id is not None):
+        # Explicit topology args without a coordinator would silently no-op:
+        # every worker would run as an uncoordinated single process with the
+        # full dataset and identical seeds — the user believes they are
+        # data-parallel. Incomplete explicit configuration must fail.
+        raise ValueError(
+            "initialize(num_processes=..., process_id=...) requires a "
+            "coordinator_address (arg or COORDINATOR_ADDRESS env var)"
+        )
     if coordinator_address is not None:
         # `is not None`, not `or`: process_id=0 (the coordinator) is falsy
         # and must not be displaced by a stale PROCESS_ID env var.

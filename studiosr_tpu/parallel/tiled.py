@@ -114,14 +114,26 @@ def tiled_inference(
         n_dev = mesh.size
         batch = -(-max(batch, n_dev) // n_dev) * n_dev  # multiple of the device count
 
-    if device_loop is None:
-        import jax
+    import jax
 
-        # Default on when unrolled reassembly stays cheap to compile; stay
-        # on the host loop under multi-host (its shard_batch path assembles
-        # global arrays from per-process shards — the one-jit path would
-        # need replicated full-image I/O on every process).
-        device_loop = n <= 512 and jax.process_count() == 1
+    if mesh is not None and jax.process_count() > 1:
+        # Cross-process spatial decomposition cannot complete here: every
+        # process holds the identical full image, so the multihost
+        # shard_batch branch would misread each copy as that process's
+        # LOCAL slice (each tile computed P times), and the sharded output
+        # spans non-addressable devices the host fetch cannot read. Pods
+        # parallelize serving across images instead: each process runs its
+        # own frames on its local devices (mesh=None, or a mesh over
+        # jax.local_devices()).
+        raise ValueError(
+            "tiled_inference(mesh=...) with jax.process_count() > 1: pass a "
+            "mesh over this process's local devices (or mesh=None) and "
+            "shard IMAGES across processes instead"
+        )
+
+    if device_loop is None:
+        # Default on when unrolled reassembly stays cheap to compile.
+        device_loop = n <= 512
     if device_loop:
         return _device_tiled(model, padded, coords, tile, tile_overlap, batch, h, w, mesh=mesh)
 

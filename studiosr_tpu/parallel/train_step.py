@@ -185,6 +185,17 @@ def make_train_step(
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p.astype(jnp.float32), state.ema_params, new_params
             )
+            if hasattr(new_opt_state, "mini_step"):
+                # Grad accumulation (optax.MultiSteps): only the k-th
+                # micro-step applies an optimizer update; decaying the EMA
+                # on the k-1 no-op micro-steps too would compound the
+                # configured decay to d^k per real update (0.999 at k=8 ->
+                # effective 0.992, an ~8x shorter EMA horizon). mini_step
+                # wraps to 0 exactly when the update was applied.
+                applied = new_opt_state.mini_step == 0
+                new_ema = jax.tree_util.tree_map(
+                    lambda u, e: jnp.where(applied, u, e), new_ema, state.ema_params
+                )
         return (
             TrainState(
                 params=new_params,

@@ -81,7 +81,15 @@ def load_torch_state_dict(
                 if candidate in obj and isinstance(obj[candidate], dict):
                     obj = obj[candidate]
                     break
-        elif key is not None and key in obj:
+        elif key is not None:
+            if key not in obj:
+                # Silently skipping an explicitly requested wrapper key
+                # surfaces much later as hundreds of "untranslated" leaves
+                # (the top-level training dict gets iterated as weights).
+                raise KeyError(
+                    f"checkpoint {path} has no {key!r} entry; top-level keys: "
+                    f"{sorted(obj)[:10]}"
+                )
             obj = obj[key]
     state = {}
     for k, v in obj.items():
@@ -103,24 +111,19 @@ class TranslationReport:
             raise KeyError(f"untranslated target parameters: {self.missing[:20]} (+{max(0, len(self.missing)-20)} more)")
 
 
+# Tuple-keyed dict flattening: flax ships exactly this (and handles the
+# edge cases); keep thin aliases rather than a private re-implementation.
 def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
-    flat = {}
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            flat.update(_flatten(v, prefix + (k,)))
-        else:
-            flat[prefix + (k,)] = v
-    return flat
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(tree)
+    return {prefix + k: v for k, v in flat.items()} if prefix else flat
 
 
 def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
-    tree: Dict[str, Any] = {}
-    for path, v in flat.items():
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = v
-    return tree
+    from flax.traverse_util import unflatten_dict
+
+    return unflatten_dict(flat)
 
 
 def _convert(leaf_name: str, source: np.ndarray, target_shape: Tuple[int, ...]) -> np.ndarray:

@@ -500,3 +500,54 @@ def test_grad_accumulation_resumes_mid_window():
     for a, c in zip(jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
                     jax.tree_util.tree_leaves(jax.device_get(state_c.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0)
+
+
+def test_ema_applies_once_per_optimizer_update_under_grad_accum():
+    """With optax.MultiSteps (grad accumulation), k-1 of every k micro-steps
+    apply NO optimizer update — the EMA must decay exactly once per real
+    update, not once per micro-step (which compounds 0.999 at k=8 into an
+    effective 0.992, an ~8x shorter EMA horizon)."""
+    import jax
+    import jax.numpy as jnp
+
+    from studiosr_tpu.parallel import build_optimizer, get_mesh, make_train_step, prepare_state, shard_batch
+    from studiosr_tpu.utils.losses import l1_loss
+
+    model = EDSR.build(scale=2, n_feats=8, n_resblocks=1)
+    k, d = 2, 0.75
+    tx = build_optimizer(learning_rate=1e-2, accum_steps=k)
+    state = prepare_state(model.variables, tx, ema_decay=d)
+    step = make_train_step(model.module, tx, l1_loss, bfloat16=False, ema_decay=d, donate=False)
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((8, 16, 16, 3), dtype=np.float32)
+    lq = gt.reshape(8, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+    batch = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), get_mesh())
+
+    ema0 = jax.device_get(state.ema_params)
+    params0 = jax.device_get(state.params)
+
+    # Micro-step 1 of 2: no optimizer update applied -> EMA unchanged.
+    state, _ = step(state, batch[0], batch[1], jax.random.PRNGKey(0))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.ema_params)),
+        jax.tree_util.tree_leaves(ema0),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+        jax.tree_util.tree_leaves(params0),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Micro-step 2 of 2: the update applies -> EMA decays exactly ONCE.
+    state, _ = step(state, batch[0], batch[1], jax.random.PRNGKey(1))
+    params1 = jax.device_get(state.params)
+    want = jax.tree_util.tree_map(
+        lambda e, p: d * np.asarray(e, np.float32) + (1 - d) * np.asarray(p, np.float32), ema0, params1
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.ema_params)),
+        jax.tree_util.tree_leaves(want),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -116,5 +116,21 @@ def test_two_process_jax_distributed_cluster(devices_per_process):
     assert tr0["step"] == tr1["step"] == 4
     assert tr0["params_digest"] == tr1["params_digest"]
     assert "latest.model.ckpt" in tr0["ckpt_files"], tr0["ckpt_files"]
-    assert "best.model.ckpt" in tr0["ckpt_files"], tr0["ckpt_files"]
+    # No evaluator in the worker -> no PSNR signal -> no "best" checkpoint
+    # (it would just mirror "latest" at double the write volume).
+    assert "best.model.ckpt" not in tr0["ckpt_files"], tr0["ckpt_files"]
     assert tr1["ckpt_files"] == [], f"non-main process wrote files: {tr1['ckpt_files']}"
+
+
+def test_initialize_rejects_topology_without_coordinator(monkeypatch):
+    """Explicit num_processes/process_id without a coordinator_address must
+    raise — silently no-opping leaves every worker an uncoordinated single
+    process (full dataset, identical seeds) that LOOKS like it trains."""
+    import studiosr_tpu.parallel.dist as dist
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    with pytest.raises(ValueError, match="coordinator_address"):
+        dist.initialize(num_processes=2, process_id=0)
+    with pytest.raises(ValueError, match="coordinator_address"):
+        dist.initialize(process_id=1)
